@@ -1,0 +1,31 @@
+"""Render configuration — one hashable dataclass instead of the reference's
+#define forest + ImGui sliders (SURVEY.md §5 config).
+
+Passed as a static argument to jitted entry points; changing it recompiles.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RenderConfig:
+    width: int = 256
+    height: int = 212
+    # integrator: "primary" (flat albedo first hit), "whitted"
+    # (deterministic: NEE-sum + perfect mirrors + Fresnel-split glass),
+    # "path" (full stochastic reference semantics, maxBounces default 14,
+    # renderer.h:175)
+    mode: str = "path"
+    max_bounces: int = 14
+    spp: int = 1
+    aa_strength: float = 1.0  # renderer.h:183 antiAliasingStrength
+    use_dof: bool = False
+    activate_sky: bool = True
+    sky_fallback: tuple = (0.392, 0.584, 0.829)  # renderer.cpp:2312
+    num_area_samples: int = 3  # renderer.h:205 numCheckShadowsAreaLight
+    # deterministic_lights: evaluate and sum ALL lights at NEE instead of the
+    # reference's one-random-light x lightCount estimator — same expectation
+    # (renderer.cpp:738-764), zero variance; used by golden tests.
+    deterministic_lights: bool = False

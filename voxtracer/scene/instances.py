@@ -1,0 +1,90 @@
+"""Instance (TLAS-input) assembly: volume specs -> batched VoxVolumes.
+
+The reference keeps `vector<Scene> voxelVolumes` and brute-force loops it
+per ray (renderer.cpp:946-1018).  The TPU design batches every instance into
+one [V, G, G, G] grid array + [V,4,4] transform stack so the traversal is a
+`lax.scan` over V with the full ray wavefront processed per step, and an
+AABB prefilter masks rays per instance (kernels/dda.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from voxtracer.core.transforms import volume_transforms
+from voxtracer.core.types import MAT_NONE, Spheres, Triangles, VoxVolumes
+from voxtracer.scene.volume import empty_grid
+
+
+@dataclass
+class VolumeSpec:
+    """Host-side description of one voxel volume instance
+    (mirrors reference Scene fields: scene.h:252-266)."""
+
+    position: tuple = (0.0, 0.0, 0.0)
+    gridsize: int = 64
+    scale: tuple = (1.0, 1.0, 1.0)
+    rotation: tuple = (0.0, 0.0, 0.0)
+    rot_mat4: np.ndarray | None = None  # overrides rotation (player transform)
+    grid: np.ndarray | None = None  # [g, g, g] uint8; None = empty
+
+    def build_grid(self) -> np.ndarray:
+        if self.grid is None:
+            return empty_grid(self.gridsize)
+        assert self.grid.shape == (self.gridsize,) * 3
+        return self.grid
+
+
+def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVolumes:
+    """Pad every instance grid to one static size and stack transforms."""
+    if not specs:
+        raise ValueError("scene needs at least one voxel volume")
+    gmax = pad_size or max(s.gridsize for s in specs)
+    v = len(specs)
+    grids = np.full((v, gmax, gmax, gmax), MAT_NONE, dtype=np.uint8)
+    gridsize = np.zeros(v, np.int32)
+    fwd = np.zeros((v, 4, 4), np.float32)
+    inv = np.zeros((v, 4, 4), np.float32)
+    cube_min = np.zeros((v, 3), np.float32)
+    for i, s in enumerate(specs):
+        g = s.gridsize
+        grids[i, :g, :g, :g] = s.build_grid()
+        gridsize[i] = g
+        f, iv = volume_transforms(s.position, s.scale, s.rotation, s.rot_mat4)
+        fwd[i], inv[i] = f, iv
+        cube_min[i] = np.asarray(s.position, np.float32)
+    return VoxVolumes(
+        grids=grids.astype(np.int32),
+        gridsize=gridsize,
+        inv=inv,
+        fwd=fwd,
+        cube_min=cube_min,
+    )
+
+
+def make_spheres(items=()) -> Spheres:
+    """items: iterable of (cx,cy,cz, radius, material)."""
+    a = np.asarray(items, np.float32).reshape(-1, 5)
+    return Spheres(
+        center=np.ascontiguousarray(a[:, 0:3]),
+        radius=np.ascontiguousarray(a[:, 3]),
+        material=a[:, 4].astype(np.int32),
+    )
+
+
+# Reference triangle construction (src/BVH/Shapes.cpp): a unit triangle
+# scaled+positioned.  Shapes.cpp defines vertex0..2 via rand or fixed pattern;
+# CreateTrianglePattern uses Triangle(mat, pos, scale).
+def make_triangles(items=()) -> Triangles:
+    """items: iterable of dicts or tuples (v0, v1, v2, position, material)."""
+    n = len(items)
+    v0 = np.zeros((n, 3), np.float32)
+    v1 = np.zeros((n, 3), np.float32)
+    v2 = np.zeros((n, 3), np.float32)
+    pos = np.zeros((n, 3), np.float32)
+    mat = np.zeros(n, np.int32)
+    for i, (a, b, c, p, m) in enumerate(items):
+        v0[i], v1[i], v2[i], pos[i], mat[i] = a, b, c, p, m
+    return Triangles(v0=v0, v1=v1, v2=v2, position=pos, material=mat)
