@@ -22,6 +22,12 @@ import pytest
 # make the in-repo package importable without installation (zero-egress env)
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+# The axon sitecustomize force-registers the TPU platform and overrides
+# JAX_PLATFORMS; undo that for tests — they must run on the virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 ASSETS = pathlib.Path(os.environ.get("VOX_ASSETS", "/root/reference/assets"))
 
 

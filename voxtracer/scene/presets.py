@@ -131,20 +131,25 @@ def city_path(width=1920, height=1080, gridsize=64, nx=4, nz=4, bounces=4, spp=1
 
 def glass_sphere_box(width=64, height=64):
     """Small deterministic dielectric test scene: a glass voxel block in a
-    lit box with a mirror wall (exercises all whitted branches)."""
+    lit box with a mirror wall (exercises all whitted branches).
+
+    Geometry is deliberately NOT axis-aligned (rotations, off-axis light,
+    irrational-ish camera): golden tests compare two float32 pipelines, and
+    grazing/axis-aligned layouts make hit/shadow decisions 1-ulp unstable."""
     mats = default_materials()
     block = solid_grid(8, GLASS)
     specs = [
         VolumeSpec(position=(0, 0, 0), gridsize=8, grid=block,
-                   scale=(0.5, 0.5, 0.5)),
-        VolumeSpec(position=(0.0, -0.6, 0.0), gridsize=1, scale=(4.0, 0.1, 4.0),
-                   grid=solid_grid(1, 1)),  # red floor
-        VolumeSpec(position=(0.0, 0.0, 0.8), gridsize=1, scale=(3.0, 3.0, 0.1),
-                   grid=solid_grid(1, 7)),  # mirror back wall
+                   scale=(0.5, 0.5, 0.5), rotation=(0.13, 0.41, 0.07)),
+        VolumeSpec(position=(0.0, -0.6, 0.0), gridsize=1, scale=(4.0, 0.3, 4.0),
+                   grid=solid_grid(1, 1), rotation=(0.02, 0.11, 0.015)),  # red floor
+        VolumeSpec(position=(0.0, 0.0, 0.8), gridsize=1, scale=(3.0, 3.0, 0.2),
+                   grid=solid_grid(1, 7), rotation=(0.06, -0.09, 0.03)),  # mirror
     ]
     vols = build_volumes(specs)
-    lights = make_lights(point=((0.5, 1.5, -1.0, 2.0, 2.0, 2.0),))
-    cam = make_camera(pos=(0.5, 0.7, -1.6), target=(0.5, 0.4, 0.5), aspect=width / height)
+    lights = make_lights(point=((0.83, 1.57, -1.21, 2.0, 2.0, 2.0),))
+    cam = make_camera(pos=(0.517, 0.703, -1.59), target=(0.49, 0.41, 0.5),
+                      aspect=width / height)
     scene = _assemble(vols, mats, lights=lights, camera=cam)
     cfg = RenderConfig(width=width, height=height, mode="whitted", max_bounces=5,
                        activate_sky=False, deterministic_lights=True)
