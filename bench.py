@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): rays/sec/chip fwd+bwd at 1080p — measured
+as primary rays per second for one full forward render (path integrator,
+monu config) PLUS one backward pass of the differentiable integrator on the
+same ray population.  vs_baseline is against the 1 Grays/s forward target.
+
+Extra diagnostics go to stderr; stdout carries exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+WIDTH = int(os.environ.get("BENCH_WIDTH", 1920))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1080))
+REPS = int(os.environ.get("BENCH_REPS", 2))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voxtracer.diff.volumetric import mse_loss, params_from_scene
+    from voxtracer.render.integrator import render
+    from voxtracer.scene.presets import monu_path
+
+    log("devices:", jax.devices())
+    scene, cfg = monu_path(width=WIDTH, height=HEIGHT, gridsize=64,
+                           which=(1, 2, 3), bounces=4)
+    scene = jax.tree.map(jnp.asarray, scene)
+    key = jax.random.PRNGKey(0)
+    n_rays = WIDTH * HEIGHT
+
+    # ---- forward (hard path tracer)
+    img = np.asarray(render(scene, cfg, key, 1))  # compile + warm
+    log("forward image mean:", float(img.mean()))
+    t0 = time.time()
+    for i in range(REPS):
+        img = np.asarray(render(scene, cfg, jax.random.fold_in(key, i), 1))
+    fwd_s = (time.time() - t0) / REPS
+    fwd_rays = n_rays / fwd_s
+    log(f"forward: {fwd_s * 1e3:.0f} ms -> {fwd_rays / 1e6:.3f} Mrays/s")
+
+    # ---- fwd+bwd (differentiable integrator, gradients wrt density+albedo)
+    params = params_from_scene(scene)
+    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
+    grad_fn = jax.jit(jax.grad(mse_loss), static_argnames=("cfg", "n_steps"))
+    g = grad_fn(params, scene, cfg, target, key, 96)
+    np.asarray(g.albedo_table[:1])  # force
+    t0 = time.time()
+    for i in range(REPS):
+        g = grad_fn(params, scene, cfg, target, jax.random.fold_in(key, i), 96)
+        np.asarray(g.albedo_table[:1, :1])
+    bwd_s = (time.time() - t0) / REPS
+    fb_rays = n_rays / (fwd_s + bwd_s)
+    log(f"fwd+bwd: {(fwd_s + bwd_s) * 1e3:.0f} ms -> {fb_rays / 1e6:.3f} Mrays/s")
+
+    print(json.dumps({
+        "metric": "rays/sec/chip fwd+bwd at 1080p (path fwd + diff bwd)",
+        "value": round(fb_rays, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(fb_rays / 1e9, 6),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Differentiability tests (SURVEY.md §4 item 4): finite-difference vs
+autodiff for voxel density + albedo, and relaxed/hard integrator
+consistency (BASELINE metric "image+pixel-grad allclose")."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from voxtracer.config import RenderConfig
+from voxtracer.diff.volumetric import DiffParams, mse_loss, params_from_scene, render_diff
+from voxtracer.render.integrator import render
+from voxtracer.scene import presets
+
+
+@pytest.fixture(scope="module")
+def teapot_small():
+    scene, cfg = presets.teapot_primary(width=32, height=32, gridsize=64)
+    cfg = dataclasses.replace(cfg, width=32, height=32)
+    return scene, cfg
+
+
+def test_relaxed_matches_hard_primary(teapot_small):
+    """High-density relaxed render converges to the hard primary image away
+    from silhouettes."""
+    scene, cfg = teapot_small
+    hard = np.asarray(render(scene, cfg, jax.random.PRNGKey(0), 1))
+    params = params_from_scene(scene, occupied_logit=12.0, empty_logit=-12.0)
+    soft = np.asarray(render_diff(params, scene, cfg, jax.random.PRNGKey(0),
+                                  n_steps=384, density_scale=4096.0))
+    diff = np.abs(hard - soft).max(-1)
+    # interior pixels agree; only silhouette pixels may differ
+    assert (diff < 0.05).mean() > 0.9, f"relaxed!=hard on {(diff >= 0.05).mean():.1%}"
+    assert np.median(diff) < 5e-3
+
+
+def test_density_gradients_match_finite_difference(teapot_small):
+    scene, cfg = teapot_small
+    params = params_from_scene(scene, occupied_logit=1.5, empty_logit=-1.5)
+    key = jax.random.PRNGKey(0)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    n_steps = 64
+
+    g = jax.grad(mse_loss)(params, scene, cfg, target, key, n_steps)
+    gd = np.asarray(g.density_logits)
+    assert np.isfinite(gd).all() and (np.abs(gd) > 0).any()
+
+    # FD check on the 3 largest-|grad| density entries
+    flat_idx = np.argsort(np.abs(gd).ravel())[-3:]
+    eps = 1e-2
+    base = float(mse_loss(params, scene, cfg, target, key, n_steps))
+    for fi in flat_idx:
+        vi, xi, yi, zi = np.unravel_index(fi, gd.shape)
+        dl = np.asarray(params.density_logits).copy()
+        dl[vi, xi, yi, zi] += eps
+        lp = float(mse_loss(params.replace(density_logits=jnp.asarray(dl)),
+                            scene, cfg, target, key, n_steps))
+        fd = (lp - base) / eps
+        ad = gd[vi, xi, yi, zi]
+        assert abs(fd - ad) < 0.1 * max(abs(fd), abs(ad), 1e-4), (fd, ad)
+
+
+def test_albedo_gradients_match_finite_difference(teapot_small):
+    scene, cfg = teapot_small
+    params = params_from_scene(scene)
+    key = jax.random.PRNGKey(0)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    g = jax.grad(mse_loss)(params, scene, cfg, target, key, 64)
+    ga = np.asarray(g.albedo_table)
+    assert np.isfinite(ga).all()
+    fi = np.abs(ga).ravel().argmax()
+    mi, ci = np.unravel_index(fi, ga.shape)
+    eps = 1e-3
+    base = float(mse_loss(params, scene, cfg, target, key, 64))
+    at = np.asarray(params.albedo_table).copy()
+    at[mi, ci] += eps
+    lp = float(mse_loss(params.replace(albedo_table=jnp.asarray(at)),
+                        scene, cfg, target, key, 64))
+    fd = (lp - base) / eps
+    assert abs(fd - ga[mi, ci]) < 0.05 * max(abs(fd), abs(ga[mi, ci])), (fd, ga[mi, ci])
+
+
+def test_hard_renderer_albedo_gradients(teapot_small):
+    """The wavefront hard renderer is differentiable w.r.t. material params
+    (traversal stop_gradient'ed, shading differentiable)."""
+    scene, cfg = teapot_small
+
+    def loss(albedo):
+        s = scene.replace(materials=scene.materials.replace(albedo=albedo))
+        img = render(s, cfg, jax.random.PRNGKey(0), 1)
+        return jnp.mean(img)
+
+    alb0 = jnp.asarray(scene.materials.albedo)
+    g = np.asarray(jax.grad(loss)(alb0))
+    assert np.isfinite(g).all() and (np.abs(g) > 0).any()
+    # FD on the largest entry
+    fi = np.abs(g).ravel().argmax()
+    mi, ci = np.unravel_index(fi, g.shape)
+    eps = 1e-3
+    base = float(loss(alb0))
+    a2 = np.asarray(alb0).copy()
+    a2[mi, ci] += eps
+    fd = (float(loss(jnp.asarray(a2))) - base) / eps
+    assert abs(fd - g[mi, ci]) < 0.05 * max(abs(fd), abs(g[mi, ci]), 1e-6), (fd, g[mi, ci])

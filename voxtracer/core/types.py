@@ -119,6 +119,11 @@ class VoxVolumes:
     inv: np.ndarray  # [V, 4, 4] world -> object
     fwd: np.ndarray  # [V, 4, 4] object -> world (normals/linear part)
     cube_min: np.ndarray  # [V, 3] object-space cube lower corner
+    # two-level acceleration (the reference's dormant TWOLEVEL TODO,
+    # scene.h:9 + scene.cpp:805-810, made real): per 8^3 brick, the uniform
+    # cell value if the brick is uniform, else BRICK_MIXED (-1)
+    bricks: np.ndarray  # [V, M, M, M] int32, M = ceil(G/8)
+    bricksize: np.ndarray  # [V] i32 logical macro size (ceil(gridsize/8))
 
     @property
     def n(self) -> int:

@@ -69,46 +69,36 @@ def _transform_rays(inv, o_world, d_world):
     return o, d, rd, dsign
 
 
-def _vol_arrays(scene: SceneData):
+def _vol_args(scene: SceneData):
     v = scene.volumes
-    return (v.grids.reshape(v.n, -1), v.gridsize, v.inv, v.fwd, v.cube_min,
-            jnp.arange(v.n, dtype=jnp.int32))
+    return (v.grids.reshape(-1), v.gridsize, v.inv, v.fwd, v.cube_min)
+
+
+def _brick_kwargs(scene: SceneData):
+    v = scene.volumes
+    return dict(bricks_flat=v.bricks.reshape(-1), bricksize=v.bricksize)
 
 
 def find_nearest_world(scene: SceneData, o, d, active,
                        skip_lo=1, skip_hi=0, skip_first=False):
-    """Renderer::FindNearest (renderer.cpp:946-1018): linear scan over
-    instances keeping the nearest, then spheres/triangles merged.
-    Returns dict(t, mat, normal, vol, hit)."""
+    """Renderer::FindNearest (renderer.cpp:946-1018) — all instances
+    traversed in ONE fused wavefront loop (kernels/dda.py), then
+    spheres/triangles merged.  Returns dict(t, mat, normal, vol, hit)."""
     n = o.shape[0]
-    gpad = scene.volumes.pad_size
-    skip_lo = jnp.int32(skip_lo)
-    skip_hi = jnp.int32(skip_hi)
-
-    init = dict(
-        t=jnp.full(n, BIG, F32),
-        mat=jnp.full(n, MAT_NONE, jnp.int32),
-        normal=jnp.zeros((n, 3), F32),
-        vol=jnp.full(n, -2, jnp.int32),
+    nvol = scene.volumes.n
+    vol_enabled = jnp.ones(nvol, bool)
+    if skip_first:
+        vol_enabled = vol_enabled.at[0].set(False)
+    res = dda.traverse(*_vol_args(scene), o, d, jnp.full(n, BIG, F32),
+                       active, vol_enabled, jnp.int32(skip_lo),
+                       jnp.int32(skip_hi), mode="nearest",
+                       **_brick_kwargs(scene))
+    carry = dict(
+        t=res["t"],
+        mat=jnp.where(res["hit"], res["cell"], MAT_NONE),
+        normal=jnp.stack([res["nx"], res["ny"], res["nz"]], axis=-1),
+        vol=res["vol"],
     )
-
-    def body(carry, vol):
-        grid_flat, gsize, inv, fwd, cmin, vidx = vol
-        oo, od, ord_, ods = _transform_rays(inv, o, d)
-        enabled = active if not skip_first else active & (vidx != 0)
-        hit, t, cell = dda.dda_nearest(grid_flat, gsize, gpad, cmin,
-                                       oo, od, ord_, ods, carry["t"], enabled,
-                                       skip_lo, skip_hi)
-        nrm = dda.normal_voxel(gsize, fwd, oo, od, t, ods)
-        upd = hit
-        return dict(
-            t=jnp.where(upd, t, carry["t"]),
-            mat=jnp.where(upd, cell, carry["mat"]),
-            normal=jnp.where(upd[:, None], nrm, carry["normal"]),
-            vol=jnp.where(upd, vidx, carry["vol"]),
-        ), None
-
-    carry, _ = jax.lax.scan(body, init, _vol_arrays(scene))
 
     # spheres + triangles on a fresh ray then min-merge (renderer.cpp:996-1016)
     st, smat, snrm, sinside = spheres_nearest(scene.spheres, o, d)
@@ -135,17 +125,12 @@ def find_nearest_world(scene: SceneData, o, d, active,
 
 
 def is_occluded_world(scene: SceneData, o, d, t_limit, active):
-    """Renderer::IsOccluded (renderer.cpp:209-243)."""
-    gpad = scene.volumes.pad_size
-
-    def body(occ, vol):
-        grid_flat, gsize, inv, fwd, cmin, _ = vol
-        oo, od, ord_, ods = _transform_rays(inv, o, d)
-        blocked = dda.dda_occluded(grid_flat, gsize, gpad, cmin,
-                                   oo, od, ord_, ods, t_limit, active & ~occ)
-        return occ | blocked, None
-
-    occ, _ = jax.lax.scan(body, jnp.zeros(o.shape[0], bool), _vol_arrays(scene))
+    """Renderer::IsOccluded (renderer.cpp:209-243) — one fused pass."""
+    res = dda.traverse(*_vol_args(scene), o, d, t_limit, active,
+                       jnp.ones(scene.volumes.n, bool),
+                       jnp.int32(1), jnp.int32(0), mode="occluded",
+                       **_brick_kwargs(scene))
+    occ = res["hit"]
     occ = occ | spheres_occluded(scene.spheres, o, d, t_limit)
     occ = occ | triangles_occluded(scene.triangles, o, d, t_limit)
     return occ
@@ -155,32 +140,13 @@ def material_exit_world(scene: SceneData, o, d, vol_idx, mode_code, mask):
     """Per-ray FindMaterialExit/FindSmokeExit through the ray's own volume
     (renderer.cpp:1160-1179, 1265-1280).  Returns (in_volume, t, normal)."""
     n = o.shape[0]
-    gpad = scene.volumes.pad_size
-    init = dict(
-        in_vol=jnp.zeros(n, bool),
-        t=jnp.zeros(n, F32),
-        normal=jnp.zeros((n, 3), F32),
-        done=jnp.zeros(n, bool),
-    )
-
-    def body(carry, vol):
-        grid_flat, gsize, inv, fwd, cmin, vidx = vol
-        sel = mask & (vol_idx == vidx) & ~carry["done"]
-        oo, od, ord_, ods = _transform_rays(inv, o, d)
-        in_vol, t, _cell = dda.dda_exit(
-            grid_flat, gsize, gpad, cmin, oo, od, ord_, ods, sel,
-            mode_code, jnp.int32(GLASS),
-            jnp.int32(SMOKE_LOW_DENSITY), jnp.int32(SMOKE_PLAYER))
-        nrm = dda.normal_voxel(gsize, fwd, oo, od, t, ods)
-        return dict(
-            in_vol=jnp.where(sel, in_vol, carry["in_vol"]),
-            t=jnp.where(sel, t, carry["t"]),
-            normal=jnp.where((sel & in_vol)[:, None], nrm, carry["normal"]),
-            done=carry["done"] | sel,
-        ), None
-
-    carry, _ = jax.lax.scan(body, init, _vol_arrays(scene))
-    return carry["in_vol"], carry["t"], carry["normal"]
+    res = dda.traverse(*_vol_args(scene), o, d, jnp.full(n, BIG, F32),
+                       mask, jnp.ones(scene.volumes.n, bool),
+                       jnp.int32(1), jnp.int32(0), mode="exit",
+                       mode_code=mode_code, vol_match=vol_idx,
+                       **_brick_kwargs(scene))
+    normal = jnp.stack([res["nx"], res["ny"], res["nz"]], axis=-1)
+    return res["in_vol"], res["t"], normal
 
 
 # --------------------------------------------------------------------------
@@ -461,7 +427,20 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key):
             active=new_active,
         ), None
 
-    state, _ = jax.lax.scan(bounce, state, jnp.arange(cfg.max_bounces + 1))
+    # depth loop with early exit: the reference recursion simply stops when
+    # rays terminate; a fixed scan would pay every bounce for a dead
+    # wavefront (Trace depth semantics: maxBounces+1 segments,
+    # renderer.cpp:1076-1083)
+    def cond(carry):
+        st, depth = carry
+        return (depth < cfg.max_bounces + 1) & jnp.any(st["active"])
+
+    def step(carry):
+        st, depth = carry
+        st, _ = bounce(st, depth)
+        return st, depth + 1
+
+    state, _ = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
     return state["radiance"]
 
 

@@ -37,14 +37,38 @@ class VolumeSpec:
         return self.grid
 
 
+BRICK = 8
+BRICK_MIXED = -1
+
+
+def build_bricks(grid: np.ndarray, gridsize: int) -> np.ndarray:
+    """Uniform-brick macro grid for one padded instance grid [G, G, G]:
+    value = the single cell value if the 8^3 brick (clipped to the logical
+    gridsize) is uniform, else BRICK_MIXED."""
+    m = max(1, -(-gridsize // BRICK))
+    out = np.full((m, m, m), BRICK_MIXED, np.int32)
+    for bx in range(m):
+        for by in range(m):
+            for bz in range(m):
+                sub = grid[bx * BRICK:min((bx + 1) * BRICK, gridsize),
+                           by * BRICK:min((by + 1) * BRICK, gridsize),
+                           bz * BRICK:min((bz + 1) * BRICK, gridsize)]
+                lo, hi = sub.min(), sub.max()
+                out[bx, by, bz] = int(lo) if lo == hi else BRICK_MIXED
+    return out
+
+
 def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVolumes:
     """Pad every instance grid to one static size and stack transforms."""
     if not specs:
         raise ValueError("scene needs at least one voxel volume")
     gmax = pad_size or max(s.gridsize for s in specs)
+    mmax = max(1, -(-gmax // BRICK))
     v = len(specs)
     grids = np.full((v, gmax, gmax, gmax), MAT_NONE, dtype=np.uint8)
+    bricks = np.full((v, mmax, mmax, mmax), BRICK_MIXED, dtype=np.int32)
     gridsize = np.zeros(v, np.int32)
+    bricksize = np.zeros(v, np.int32)
     fwd = np.zeros((v, 4, 4), np.float32)
     inv = np.zeros((v, 4, 4), np.float32)
     cube_min = np.zeros((v, 3), np.float32)
@@ -52,6 +76,9 @@ def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVo
         g = s.gridsize
         grids[i, :g, :g, :g] = s.build_grid()
         gridsize[i] = g
+        bsz = max(1, -(-g // BRICK))
+        bricksize[i] = bsz
+        bricks[i, :bsz, :bsz, :bsz] = build_bricks(grids[i, :g, :g, :g], g)
         f, iv = volume_transforms(s.position, s.scale, s.rotation, s.rot_mat4)
         fwd[i], inv[i] = f, iv
         cube_min[i] = np.asarray(s.position, np.float32)
@@ -61,6 +88,8 @@ def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVo
         inv=inv,
         fwd=fwd,
         cube_min=cube_min,
+        bricks=bricks,
+        bricksize=bricksize,
     )
 
 
