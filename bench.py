@@ -30,8 +30,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from voxtracer.diff.volumetric import mse_loss, params_from_scene
-    from voxtracer.render.integrator import render
+    from voxtracer.diff.volumetric import grad_fn, params_from_scene
+    from voxtracer.render.integrator import render_tiled
     from voxtracer.scene.presets import monu_path
 
     log("devices:", jax.devices())
@@ -40,26 +40,37 @@ def main():
     scene = jax.tree.map(jnp.asarray, scene)
     key = jax.random.PRNGKey(0)
     n_rays = WIDTH * HEIGHT
+    tiles = int(os.environ.get("BENCH_TILES", 16))
 
-    # ---- forward (hard path tracer)
-    img = np.asarray(render(scene, cfg, key, 1))  # compile + warm
+    # ---- forward (hard path tracer), row-banded to bound HBM
+    img = render_tiled(scene, cfg, key, 1, tiles)  # compile + warm
     log("forward image mean:", float(img.mean()))
     t0 = time.time()
     for i in range(REPS):
-        img = np.asarray(render(scene, cfg, jax.random.fold_in(key, i), 1))
+        img = render_tiled(scene, cfg, jax.random.fold_in(key, i), 1, tiles)
     fwd_s = (time.time() - t0) / REPS
     fwd_rays = n_rays / fwd_s
     log(f"forward: {fwd_s * 1e3:.0f} ms -> {fwd_rays / 1e6:.3f} Mrays/s")
 
     # ---- fwd+bwd (differentiable integrator, gradients wrt density+albedo)
     params = params_from_scene(scene)
-    target = jnp.zeros((HEIGHT, WIDTH, 3), jnp.float32)
-    grad_fn = jax.jit(jax.grad(mse_loss), static_argnames=("cfg", "n_steps"))
-    g = grad_fn(params, scene, cfg, target, key, 96)
-    np.asarray(g.albedo_table[:1])  # force
+    rows = -(-HEIGHT // tiles)
+    target_band = jnp.zeros((rows, WIDTH, 3), jnp.float32)
+
+    def full_grad(k):
+        total = None
+        for b in range(tiles):
+            row0 = jnp.float32(min(b * rows, HEIGHT - rows))
+            g = grad_fn(params, scene, cfg, target_band, k, 96,
+                        row0=row0, rows=rows)
+            np.asarray(g.albedo_table[:1, :1])
+            total = g if total is None else jax.tree.map(jnp.add, total, g)
+        return total
+
+    g = full_grad(key)  # compile + warm
     t0 = time.time()
     for i in range(REPS):
-        g = grad_fn(params, scene, cfg, target, jax.random.fold_in(key, i), 96)
+        g = full_grad(jax.random.fold_in(key, i))
         np.asarray(g.albedo_table[:1, :1])
     bwd_s = (time.time() - t0) / REPS
     fb_rays = n_rays / (fwd_s + bwd_s)

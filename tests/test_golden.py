@@ -71,6 +71,14 @@ def test_whitted_room_matches_oracle(assets_dir):
     _compare(scene, cfg, max_bad_frac=0.02)
 
 
+def test_whitted_roomglass_matches_oracle(assets_dir):
+    """Config 3: dielectrics via the model palette's GLASS slot."""
+    scene, cfg = presets.room_whitted(width=32, height=32, gridsize=128,
+                                      glass=True)
+    cfg = dataclasses.replace(cfg, max_bounces=2)
+    _compare(scene, cfg, max_bad_frac=0.04)
+
+
 @pytest.mark.slow
 def test_path_converged_mean_matches_oracle():
     """Stochastic estimators share distributions, not sequences — compare

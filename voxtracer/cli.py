@@ -1,0 +1,149 @@
+"""CLI entry — render / play / bench / info.
+
+The TPU-native replacement of the reference's GLFW app shell + frame loop
+(template.cpp:126-329): no window, no GL — render frames to PNG, run the
+game headless, or benchmark.  `python -m voxtracer.cli --help`."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+PRESETS = {
+    "teapot": "teapot_primary",
+    "room": "room_whitted",
+    "roomglass": None,  # handled specially
+    "monu": "monu_path",
+    "city": "city_path",
+    "glassbox": "glass_sphere_box",
+}
+
+
+def cmd_render(args):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voxtracer.io.image import write_png
+    from voxtracer.render.accumulate import ProgressiveState
+    from voxtracer.render.integrator import render
+    from voxtracer.render.tonemap import to_rgb8
+    from voxtracer.scene import presets
+    from voxtracer.utils.profiling import FrameReport
+
+    if args.preset == "roomglass":
+        scene, cfg = presets.room_whitted(glass=True)
+    else:
+        scene, cfg = getattr(presets, PRESETS[args.preset])()
+    if args.width:
+        cfg = dataclasses.replace(cfg, width=args.width,
+                                  height=args.height or args.width)
+    if args.mode:
+        cfg = dataclasses.replace(cfg, mode=args.mode)
+    if args.bounces:
+        cfg = dataclasses.replace(cfg, max_bounces=args.bounces)
+    scene = jax.tree.map(jnp.asarray, scene)
+
+    prog = ProgressiveState(cfg.height, cfg.width)
+    report = FrameReport(cfg.width, cfg.height)
+    key = jax.random.PRNGKey(args.seed)
+    for frame in range(args.frames):
+        t0 = time.time()
+        img = render(scene, cfg, jax.random.fold_in(key, frame), args.spp)
+        acc = np.asarray(prog.add(img))
+        report.frame(time.time() - t0)
+    rgb = np.asarray(to_rgb8(jnp.asarray(acc)))
+    write_png(args.output, rgb)
+    print(f"wrote {args.output} ({cfg.width}x{cfg.height}, "
+          f"{args.frames} frames x {args.spp} spp, mode={cfg.mode})")
+
+
+def cmd_play(args):
+    """Headless game loop: scripted or random inputs, renders periodically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voxtracer.config import RenderConfig
+    from voxtracer.game.level import Game
+    from voxtracer.io.image import write_png
+    from voxtracer.render.integrator import find_nearest_world, render
+    from voxtracer.render.tonemap import to_rgb8
+
+    game = Game(seed=args.seed)
+    cfg = RenderConfig(width=args.width or 128, height=args.height or 106,
+                       mode="path", max_bounces=6)
+    scene = None
+
+    def probe(o, d, dist):
+        nonlocal scene
+        if scene is None or game.dirty:
+            scene = jax.tree.map(jnp.asarray, game.build_scene(cfg.width, cfg.height))
+        rec = find_nearest_world(
+            scene, jnp.asarray(o)[None], jnp.asarray(d)[None],
+            jnp.ones(1, bool), skip_lo=9, skip_hi=14, skip_first=True)
+        t = float(rec["t"][0])
+        vol = int(rec["vol"][0])
+        point = np.asarray(o) + min(t, dist) * np.asarray(d)
+        normal = np.asarray(rec["normal"][0])
+        return vol, t, point, normal
+
+    moves = list(args.moves) if args.moves else ["w"] * args.steps
+    for i, mv in enumerate(moves[:args.steps]):
+        game.tick(0.1, mv, probe)
+        if game.state.won:
+            print("WIN")
+            break
+    scene = jax.tree.map(jnp.asarray, game.build_scene(cfg.width, cfg.height))
+    img = render(scene, cfg, jax.random.PRNGKey(0), args.spp)
+    write_png(args.output, np.asarray(to_rgb8(img)))
+    print(f"game state: chunk={game.state.current_chunk} "
+          f"volumes={len(game.volumes)} -> {args.output}")
+
+
+def cmd_info(args):
+    import jax
+
+    print("devices:", jax.devices())
+    print("backend:", jax.default_backend())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="voxtracer")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a preset scene to PNG")
+    r.add_argument("--preset", choices=PRESETS, default="teapot")
+    r.add_argument("--width", type=int, default=0)
+    r.add_argument("--height", type=int, default=0)
+    r.add_argument("--mode", choices=["primary", "whitted", "path"], default=None)
+    r.add_argument("--bounces", type=int, default=0)
+    r.add_argument("--frames", type=int, default=1)
+    r.add_argument("--spp", type=int, default=1)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--output", default="out.png")
+    r.set_defaults(fn=cmd_render)
+
+    g = sub.add_parser("play", help="run the game headless")
+    g.add_argument("--steps", type=int, default=8)
+    g.add_argument("--moves", default="")
+    g.add_argument("--width", type=int, default=0)
+    g.add_argument("--height", type=int, default=0)
+    g.add_argument("--spp", type=int, default=1)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--output", default="game.png")
+    g.set_defaults(fn=cmd_play)
+
+    i = sub.add_parser("info", help="device info")
+    i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,3 +29,8 @@ class RenderConfig:
     # reference's one-random-light x lightCount estimator — same expectation
     # (renderer.cpp:738-764), zero variance; used by golden tests.
     deterministic_lights: bool = False
+    # whitted mode only: compile the Fresnel-split glass/smoke recursion.
+    # The split doubles the compiled recursion tree per depth; scenes with
+    # no dielectrics should disable it (the branches would be dead code the
+    # compiler still pays for).
+    whitted_glass_split: bool = True

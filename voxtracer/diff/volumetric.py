@@ -60,10 +60,11 @@ def _ray_aabb(cube_min, o, d):
     return t0, tmax, tmax > t0
 
 
-@partial(jax.jit, static_argnames=("n_steps", "cfg"))
+@partial(jax.jit, static_argnames=("n_steps", "cfg", "rows"))
 def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 192,
-                density_scale: float = 512.0):
-    """Primary-visibility differentiable render -> [H, W, 3].
+                density_scale: float = 512.0, row0=None, rows: int = 0):
+    """Primary-visibility differentiable render -> [H, W, 3] (or
+    [rows, W, 3] when a row band is given — used to bound memory at 1080p).
 
     Marches all volumes jointly in world-t order with fixed global steps
     between the union of entry/exit ranges (handles overlaps without
@@ -71,7 +72,13 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     from voxtracer.render.camera import primary_rays
     from voxtracer.render.integrator import _pixel_grid
 
-    px, py = _pixel_grid(cfg)
+    if rows:
+        x = jnp.arange(cfg.width, dtype=F32)
+        y = jnp.arange(rows, dtype=F32) + row0
+        px, py = jnp.meshgrid(x, y)
+        px, py = px.reshape(-1), py.reshape(-1)
+    else:
+        px, py = _pixel_grid(cfg)
     o, d = primary_rays(scene.camera, cfg.width, cfg.height, px, py, None, jnp)
     n = o.shape[0]
     v = scene.volumes.n
@@ -124,13 +131,13 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     bg = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
     img = color + trans[:, None] * bg
     img = jnp.where(valid[:, None], img, bg)
-    return img.reshape(cfg.height, cfg.width, 3)
+    return img.reshape(rows or cfg.height, cfg.width, 3)
 
 
 def mse_loss(params: DiffParams, scene: SceneData, cfg, target, key,
-             n_steps: int = 192):
-    img = render_diff(params, scene, cfg, key, n_steps)
+             n_steps: int = 192, row0=None, rows: int = 0):
+    img = render_diff(params, scene, cfg, key, n_steps, row0=row0, rows=rows)
     return jnp.mean((img - target) ** 2)
 
 
-grad_fn = jax.jit(jax.grad(mse_loss), static_argnames=("cfg", "n_steps"))
+grad_fn = jax.jit(jax.grad(mse_loss), static_argnames=("cfg", "n_steps", "rows"))

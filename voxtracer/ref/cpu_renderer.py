@@ -539,6 +539,8 @@ class Oracle:
         cos_t = F(min(float(-ray.D @ ray.normal), 1.0))
         sin_t = F(np.sqrt(max(0.0, 1.0 - cos_t * cos_t)))
         cannot_refract = ratio * sin_t > 1.0
+        if self.cfg.mode == "whitted" and not self.cfg.whitted_glass_split:
+            return np.zeros(3, F)
         if self.cfg.mode == "whitted":
             # deterministic Fresnel split
             refl_d = mathx.reflect(ray.D, ray.normal)
@@ -563,6 +565,8 @@ class Oracle:
         return self.trace(new, depth - 1) * color
 
     def _trace_smoke(self, ray: ORay, depth, vox_index):
+        if self.cfg.mode == "whitted" and not self.cfg.whitted_glass_split:
+            return np.zeros(3, F)
         color = np.ones(3, F)
         in_glass = ray.in_glass
         intensity = F(0.0)

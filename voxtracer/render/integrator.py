@@ -526,7 +526,7 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
     smoke_trans = mathx.absorption(alb, intensity, dist, jnp)
     media_color = jnp.where(smoke_mask[:, None], smoke_trans, glass_color)
 
-    if media_mask is not None:
+    if cfg.whitted_glass_split:
         # reflected branch (glass only, weight r)
         need_refl = glass_mask & (r_coef > 0.0)
         ro = mathx.offset_ray(p_hit, nrm, jnp)
@@ -558,11 +558,10 @@ def _pixel_grid(cfg: RenderConfig):
     return px.reshape(-1), py.reshape(-1)
 
 
-def render_sample(scene: SceneData, cfg: RenderConfig, key):
-    """One sample per pixel -> radiance [H*W, 3]."""
+def _sample_pixels(scene: SceneData, cfg: RenderConfig, key, px, py):
+    """One sample for the given pixel coordinates -> radiance [N, 3]."""
     from voxtracer.render.camera import primary_rays
 
-    px, py = _pixel_grid(cfg)
     n = px.shape[0]
     deterministic = cfg.mode in ("primary", "whitted")
     if not deterministic:
@@ -582,6 +581,12 @@ def render_sample(scene: SceneData, cfg: RenderConfig, key):
     return trace_path(scene, cfg, o, d, key)
 
 
+def render_sample(scene: SceneData, cfg: RenderConfig, key):
+    """One sample per pixel -> radiance [H*W, 3]."""
+    px, py = _pixel_grid(cfg)
+    return _sample_pixels(scene, cfg, key, px, py)
+
+
 @partial(jax.jit, static_argnames=("cfg", "spp"))
 def render(scene: SceneData, cfg: RenderConfig, key, spp: int = 1):
     """Average spp samples -> [H, W, 3] radiance image."""
@@ -591,3 +596,40 @@ def render(scene: SceneData, cfg: RenderConfig, key, spp: int = 1):
     acc, _ = jax.lax.scan(body, jnp.zeros((cfg.width * cfg.height, 3), F32),
                           jnp.arange(spp))
     return (acc / spp).reshape(cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "rows"))
+def _render_band(scene: SceneData, cfg: RenderConfig, key, row0, rows: int,
+                 spp: int):
+    """spp-averaged radiance for `rows` scanlines starting at traced row0."""
+    x = jnp.arange(cfg.width, dtype=F32)
+    y = jnp.arange(rows, dtype=F32) + row0
+    px, py = jnp.meshgrid(x, y)
+    px, py = px.reshape(-1), py.reshape(-1)
+
+    def body(acc, i):
+        k = jax.random.fold_in(jax.random.fold_in(key, i), row0)
+        return acc + _sample_pixels(scene, cfg, k, px, py), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((rows * cfg.width, 3), F32),
+                          jnp.arange(spp))
+    return acc / spp
+
+
+def render_tiled(scene: SceneData, cfg: RenderConfig, key, spp: int = 1,
+                 tiles: int = 8):
+    """Render in row bands to bound peak memory — the [V, N_band] traversal
+    state of a full 1080p wavefront exceeds the chip's HBM (the reference's
+    scanline partitioning, renderer.cpp:1662, reborn as a memory tool).
+    One compile serves all bands (row0 is a traced scalar)."""
+    import numpy as np
+
+    h, w = cfg.height, cfg.width
+    rows = -(-h // tiles)
+    out = np.zeros((h, w, 3), np.float32)
+    for b in range(tiles):
+        row0 = min(b * rows, h - rows)
+        band = np.asarray(_render_band(scene, cfg, key, jnp.float32(row0),
+                                       rows, spp))
+        out[row0:row0 + rows] = band.reshape(rows, w, 3)
+    return out

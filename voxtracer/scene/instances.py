@@ -44,7 +44,16 @@ BRICK_MIXED = -1
 def build_bricks(grid: np.ndarray, gridsize: int) -> np.ndarray:
     """Uniform-brick macro grid for one padded instance grid [G, G, G]:
     value = the single cell value if the 8^3 brick (clipped to the logical
-    gridsize) is uniform, else BRICK_MIXED."""
+    gridsize) is uniform, else BRICK_MIXED.  Prefers the C++ builder
+    (native/voxio.cpp, bit-identical) for large grids."""
+    try:
+        from voxtracer.native import build_bricks_native
+
+        out = build_bricks_native(np.ascontiguousarray(grid, np.uint8), gridsize)
+        if out is not None:
+            return out
+    except Exception:
+        pass
     m = max(1, -(-gridsize // BRICK))
     out = np.full((m, m, m), BRICK_MIXED, np.int32)
     for bx in range(m):

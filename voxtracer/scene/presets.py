@@ -73,8 +73,12 @@ def room_whitted(width=512, height=512, gridsize=128, glass=False):
     )
     cam = make_camera(pos=(0.5, 0.6, -0.9), target=(0.5, 0.35, 0.5), aspect=width / height)
     scene = _assemble(vols, mats, lights=lights, camera=cam)
-    cfg = RenderConfig(width=width, height=height, mode="whitted", max_bounces=5,
-                       activate_sky=False, deterministic_lights=True)
+    cfg = RenderConfig(width=width, height=height, mode="whitted",
+                       max_bounces=3 if glass else 5,
+                       activate_sky=False, deterministic_lights=True,
+                       # glass split only pays off when the model palette
+                       # actually maps slot 8 (GLASS) — roomGlass does
+                       whitted_glass_split=glass)
     return scene, cfg
 
 
