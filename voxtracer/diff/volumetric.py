@@ -84,11 +84,39 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     v = scene.volumes.n
     g = scene.volumes.pad_size
 
-    # per-volume object-space rays + entry/exit
+    # SoA component layout throughout the march (PERF_NOTES.md: trailing
+    # dim 3 wastes the VPU) + fused per-step gather over all volumes.
     inv = scene.volumes.inv  # [V, 4, 4]
-    oo = jnp.einsum("vij,nj->vni", inv[:, :3, :3], o) + inv[:, None, :3, 3]
-    od = jnp.einsum("vij,nj->vni", inv[:, :3, :3], d)
-    t0, t1, hit = jax.vmap(_ray_aabb)(scene.volumes.cube_min, oo, od)  # [V, N]
+
+    def tr(row, px_, py_, pz_, point):
+        c = row[:, None, :]
+        out = c[..., 0] * px_ + c[..., 1] * py_ + c[..., 2] * pz_
+        return out + c[..., 3] if point else out
+
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    vox = tr(inv[:, 0], ox, oy, oz, True)   # [V, N]
+    voy = tr(inv[:, 1], ox, oy, oz, True)
+    voz = tr(inv[:, 2], ox, oy, oz, True)
+    vdx = tr(inv[:, 0], dx, dy, dz, False)
+    vdy = tr(inv[:, 1], dx, dy, dz, False)
+    vdz = tr(inv[:, 2], dx, dy, dz, False)
+
+    cb = scene.volumes.cube_min  # [V, 3]
+    bx, by, bz = cb[:, 0][:, None], cb[:, 1][:, None], cb[:, 2][:, None]
+
+    def slab(b0, oc, dc):
+        rd = 1.0 / dc
+        a = (b0 - oc) * rd
+        b = (b0 + 1.0 - oc) * rd
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    t0x, t1x = slab(bx, vox, vdx)
+    t0y, t1y = slab(by, voy, vdy)
+    t0z, t1z = slab(bz, voz, vdz)
+    t0 = jnp.maximum(jnp.maximum(t0x, t0y), jnp.maximum(t0z, 0.0))
+    t1 = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
+    hit = t1 > t0
 
     t_near = jnp.where(hit, t0, jnp.inf).min(axis=0)  # [N]
     t_far = jnp.where(hit, t1, -jnp.inf).max(axis=0)
@@ -97,36 +125,50 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     t_far = jnp.where(valid, t_far, 1.0)
     dt = (t_far - t_near) / n_steps  # [N]
 
-    gridsize = scene.volumes.gridsize.astype(F32)  # [V]
-    dens_flat = jax.nn.softplus(params.density_logits).reshape(v, -1) * density_scale
-    mats_flat = scene.volumes.grids.reshape(v, -1)
+    gs_f = scene.volumes.gridsize.astype(F32)[:, None]  # [V, 1]
+    gs_i = scene.volumes.gridsize[:, None]
+    dens_flat = (jax.nn.softplus(params.density_logits).reshape(-1)
+                 * density_scale)  # [V * G^3]
+    mats_flat = scene.volumes.grids.reshape(-1)
+    vol_base = (jnp.arange(v, dtype=jnp.int32) * g * g * g)[:, None]
+    alb_t = params.albedo_table.T  # [3, 256]
 
     def step(carry, k):
-        trans, color = carry
-        t_mid = t_near + (k + 0.5) * dt  # [N]
-        sigma = jnp.zeros(n, F32)
-        csum = jnp.zeros((n, 3), F32)
-        for vi in range(v):  # static loop over instances
-            p = oo[vi] + t_mid[:, None] * od[vi]  # object space
-            local = (p - scene.volumes.cube_min[vi]) * gridsize[vi]
-            idx = jnp.clip(local.astype(jnp.int32), 0,
-                           scene.volumes.gridsize[vi] - 1)
-            inside = ((local >= 0.0) & (local < gridsize[vi])).all(axis=-1)
-            flat = (idx[:, 0] * g + idx[:, 1]) * g + idx[:, 2]
-            s = jnp.where(inside, jnp.take(dens_flat[vi], flat), 0.0)
-            m = jnp.take(mats_flat[vi], flat)
-            c = jnp.take(params.albedo_table, m, axis=0)
-            sigma = sigma + s
-            csum = csum + s[:, None] * c
+        trans, cr, cg_, cb_ = carry
+        t_mid = (t_near + (k + 0.5) * dt)[None, :]  # [1, N]
+        lx = (vox + t_mid * vdx - bx) * gs_f
+        ly = (voy + t_mid * vdy - by) * gs_f
+        lz = (voz + t_mid * vdz - bz) * gs_f
+        ix = jnp.clip(lx.astype(jnp.int32), 0, gs_i - 1)
+        iy = jnp.clip(ly.astype(jnp.int32), 0, gs_i - 1)
+        iz = jnp.clip(lz.astype(jnp.int32), 0, gs_i - 1)
+        inside = ((lx >= 0.0) & (lx < gs_f) & (ly >= 0.0) & (ly < gs_f)
+                  & (lz >= 0.0) & (lz < gs_f))
+        flat = (ix * g + iy) * g + iz + vol_base
+        s = jnp.where(inside, jnp.take(dens_flat, flat, mode="clip"), 0.0)
+        m = jnp.take(mats_flat, flat, mode="clip")  # [V, N]
+        sigma = s.sum(axis=0)  # [N]
+        # per-channel weighted albedo (gathers stay [V, N])
+        ar = jnp.take(alb_t[0], m, mode="clip")
+        ag = jnp.take(alb_t[1], m, mode="clip")
+        ab = jnp.take(alb_t[2], m, mode="clip")
+        wr = (s * ar).sum(axis=0)
+        wg = (s * ag).sum(axis=0)
+        wb = (s * ab).sum(axis=0)
         alpha = 1.0 - jnp.exp(-sigma * dt)
-        c_blend = csum / jnp.maximum(sigma, 1e-8)[:, None]
-        color = color + (trans * alpha)[:, None] * c_blend
+        inv_sigma = 1.0 / jnp.maximum(sigma, 1e-8)
+        wgt = trans * alpha * inv_sigma
+        cr = cr + wgt * wr
+        cg_ = cg_ + wgt * wg
+        cb_ = cb_ + wgt * wb
         trans = trans * (1.0 - alpha)
-        return (trans, color), None
+        return (trans, cr, cg_, cb_), None
 
-    init = (jnp.ones(n, F32), jnp.zeros((n, 3), F32))
-    (trans, color), _ = jax.lax.scan(
+    init = (jnp.ones(n, F32), jnp.zeros(n, F32), jnp.zeros(n, F32),
+            jnp.zeros(n, F32))
+    (trans, cr, cg_, cb_), _ = jax.lax.scan(
         jax.checkpoint(step), init, jnp.arange(n_steps, dtype=F32))
+    color = jnp.stack([cr, cg_, cb_], axis=-1)
 
     bg = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
     img = color + trans[:, None] * bg
