@@ -40,7 +40,7 @@ def main():
     scene = jax.tree.map(jnp.asarray, scene)
     key = jax.random.PRNGKey(0)
     n_rays = WIDTH * HEIGHT
-    tiles = int(os.environ.get("BENCH_TILES", 16))
+    tiles = int(os.environ.get("BENCH_TILES", 32))
 
     # ---- forward (hard path tracer), row-banded to bound HBM
     img = render_tiled(scene, cfg, key, 1, tiles)  # compile + warm

@@ -2,11 +2,15 @@
 
 The reference shades with a recursive megafunction over scalar rays
 (renderer.cpp:1076-1328).  Here the whole ray population advances together:
-one `lax.scan` over bounce depth; per bounce every material lobe is computed
-vectorized and masked (TPUs have no per-lane control flow — SURVEY.md §7
-"hard parts").  Scene intersection is a `lax.scan` over volume instances
-with the batched DDA kernels (kernels/dda.py), mirroring the reference's
-linear TLAS loop (renderer.cpp:946-1018) but data-parallel over rays.
+a while_loop over bounce depth with early exit; per bounce every material
+lobe is computed vectorized and masked (TPUs have no per-lane control
+flow — SURVEY.md §7 "hard parts").  Scene intersection is ONE fused
+ray x volume traversal (kernels/dda.py).
+
+Hot-path layout: all per-ray vectors are **component tuples** (x, y, z of
+shape [N]) — never [N, 3] — because a trailing dim of 3 wastes ~97% of the
+TPU's (8, 128) vector lanes (PERF_NOTES.md).  Gathers from small tables
+([256, 3] albedo, sky image) stay row-gathers and are split after.
 
 Modes:
   primary — flat albedo at first hit (BASELINE config 1)
@@ -25,13 +29,6 @@ import jax.numpy as jnp
 
 from voxtracer.config import RenderConfig
 from voxtracer.core import mathx
-from voxtracer.core.sampling import (
-    lambertian_dir,
-    point_in_circle,
-    positive_octant_dir,
-    sphere_sample,
-    uniform_hemisphere_dir,
-)
 from voxtracer.core.types import (
     EMISSIVE,
     GLASS,
@@ -53,21 +50,99 @@ from voxtracer.render.sky import sample_sky
 
 BIG = 1e34
 F32 = jnp.float32
+TWO_PI = 6.283185307179586
 
 
-def _unit(v):
-    n = jnp.sqrt((v * v).sum(-1, keepdims=True))
-    return v / jnp.maximum(n, 1e-20)
+# --------------------------------------------------------------------------
+# Component-tuple vector helpers (SoA [N] per axis)
+# --------------------------------------------------------------------------
+
+def cpack(a):
+    """[N, 3] -> (x, y, z)."""
+    return a[..., 0], a[..., 1], a[..., 2]
 
 
-def _transform_rays(inv, o_world, d_world):
-    """World -> object space (reference: renderer.cpp:959-984)."""
-    o = o_world @ inv[:3, :3].T + inv[:3, 3]
-    d = d_world @ inv[:3, :3].T
-    rd = 1.0 / d  # inf on zeros, as the reference (NaN quirks preserved)
-    dsign = jnp.signbit(d).astype(F32)
-    return o, d, rd, dsign
+def cstack(c):
+    return jnp.stack(c, axis=-1)
 
+
+def cdot(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cadd(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def csub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def cmul(a, b):
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def cscale(s, a):
+    return (s * a[0], s * a[1], s * a[2])
+
+
+def cneg(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def cwhere(m, a, b):
+    return (jnp.where(m, a[0], b[0]), jnp.where(m, a[1], b[1]),
+            jnp.where(m, a[2], b[2]))
+
+
+def cunit(a):
+    inv = jax.lax.rsqrt(jnp.maximum(cdot(a, a), 1e-20))
+    return cscale(inv, a)
+
+
+def creflect(d, n):
+    """renderer.cpp:913-916."""
+    return csub(d, cscale(2.0 * cdot(d, n), n))
+
+
+def crefract(d, n, ratio):
+    """renderer.cpp:919-925."""
+    cos_t = jnp.minimum(cdot(cneg(d), n), 1.0)
+    rp = cscale(ratio, cadd(d, cscale(cos_t, n)))
+    rpar = -jnp.sqrt(jnp.abs(1.0 - cdot(rp, rp)))
+    return cadd(rp, cscale(rpar, n))
+
+
+def coffset(p, n):
+    """OffsetRay per component (tmpl8math.cpp:473-487, elementwise)."""
+    return tuple(mathx.offset_ray(p[i], n[i], jnp) for i in range(3))
+
+
+def csphere_sample(u1, u2, u3):
+    """RandomSphereSample (tmpl8math.h:2502-2511)."""
+    theta = u1 * TWO_PI
+    phi = u2 * jnp.pi
+    sp = jnp.sin(phi)
+    return (u3 * sp * jnp.cos(theta), u3 * sp * jnp.sin(theta),
+            u3 * jnp.cos(phi))
+
+
+def coctant_dir(g):
+    """RandomDirection positive-octant quirk (tmpl8math.cpp:76-93)."""
+    a = (jnp.abs(g[0]) + 1e-12, jnp.abs(g[1]) + 1e-12, jnp.abs(g[2]) + 1e-12)
+    return cunit(a)
+
+
+def chemisphere_dir(n, g):
+    """DiffuseReflection (tmpl8math.h:2517-2527): uniform hemisphere."""
+    d = cunit((g[0] + 1e-12, g[1] + 1e-12, g[2] + 1e-12))
+    flip = jnp.where(cdot(d, n) < 0.0, -1.0, 1.0)
+    return cscale(flip, d)
+
+
+# --------------------------------------------------------------------------
+# Scene intersection (fused traversal + primitives)
+# --------------------------------------------------------------------------
 
 def _vol_args(scene: SceneData):
     v = scene.volumes
@@ -81,232 +156,267 @@ def _brick_kwargs(scene: SceneData):
 
 def find_nearest_world(scene: SceneData, o, d, active,
                        skip_lo=1, skip_hi=0, skip_first=False):
-    """Renderer::FindNearest (renderer.cpp:946-1018) — all instances
-    traversed in ONE fused wavefront loop (kernels/dda.py), then
-    spheres/triangles merged.  Returns dict(t, mat, normal, vol, hit)."""
-    n = o.shape[0]
+    """Renderer::FindNearest (renderer.cpp:946-1018) — all instances in ONE
+    fused wavefront loop, then spheres/triangles merged.
+    o, d: [N, 3] or component tuples.  Returns dict with t, mat, vol, hit,
+    normal components (nx, ny, nz) and a stacked `normal`."""
+    o3 = o if not isinstance(o, tuple) else cstack(o)
+    d3 = d if not isinstance(d, tuple) else cstack(d)
+    n = o3.shape[0]
     nvol = scene.volumes.n
     vol_enabled = jnp.ones(nvol, bool)
     if skip_first:
         vol_enabled = vol_enabled.at[0].set(False)
-    res = dda.traverse(*_vol_args(scene), o, d, jnp.full(n, BIG, F32),
+    res = dda.traverse(*_vol_args(scene), o3, d3, jnp.full(n, BIG, F32),
                        active, vol_enabled, jnp.int32(skip_lo),
                        jnp.int32(skip_hi), mode="nearest",
                        **_brick_kwargs(scene))
-    carry = dict(
-        t=res["t"],
-        mat=jnp.where(res["hit"], res["cell"], MAT_NONE),
-        normal=jnp.stack([res["nx"], res["ny"], res["nz"]], axis=-1),
-        vol=res["vol"],
-    )
+    t, mat, vol = res["t"], jnp.where(res["hit"], res["cell"], MAT_NONE), res["vol"]
+    nrm = (res["nx"], res["ny"], res["nz"])
 
     # spheres + triangles on a fresh ray then min-merge (renderer.cpp:996-1016)
-    st, smat, snrm, sinside = spheres_nearest(scene.spheres, o, d)
-    tt, tmat, tnrm = triangles_nearest(scene.triangles, o, d)
+    st, smat, snrm, sinside = spheres_nearest(scene.spheres, o3, d3)
+    tt, tmat, tnrm = triangles_nearest(scene.triangles, o3, d3)
     prim_t = jnp.minimum(st, tt)
     use_tri = tt < st
     prim_mat = jnp.where(use_tri, tmat, smat)
-    prim_nrm = jnp.where(use_tri[:, None], tnrm, snrm)
-    prim_inside = jnp.where(use_tri, False, sinside)
-    adopt = active & (carry["t"] > prim_t)
+    prim_nrm = cwhere(use_tri, cpack(tnrm), cpack(snrm))
+    adopt = active & (t > prim_t)
+    nrm = cwhere(adopt, prim_nrm, nrm)
     out = dict(
-        t=jnp.where(adopt, prim_t, carry["t"]),
-        mat=jnp.where(adopt, prim_mat, carry["mat"]),
-        normal=jnp.where(adopt[:, None], prim_nrm, carry["normal"]),
-        vol=jnp.where(adopt, -1, carry["vol"]),
+        t=jnp.where(adopt, prim_t, t),
+        mat=jnp.where(adopt, prim_mat, mat),
+        nx=nrm[0], ny=nrm[1], nz=nrm[2],
+        vol=jnp.where(adopt, -1, vol),
         # sphere hits REPLACE isInsideGlass on adoption (renderer.cpp:1013);
         # the flag comes from the closest sphere even if a triangle won
         # (triangles never write it, Shapes.h) — quirk preserved
         prim_adopt=adopt,
-        prim_inside=prim_inside,
+        prim_inside=sinside,
     )
+    out["normal"] = cstack(nrm)
     out["hit"] = active & (out["mat"] != MAT_NONE)
     return out
 
 
 def is_occluded_world(scene: SceneData, o, d, t_limit, active):
     """Renderer::IsOccluded (renderer.cpp:209-243) — one fused pass."""
-    res = dda.traverse(*_vol_args(scene), o, d, t_limit, active,
+    o3 = o if not isinstance(o, tuple) else cstack(o)
+    d3 = d if not isinstance(d, tuple) else cstack(d)
+    res = dda.traverse(*_vol_args(scene), o3, d3, t_limit, active,
                        jnp.ones(scene.volumes.n, bool),
                        jnp.int32(1), jnp.int32(0), mode="occluded",
                        **_brick_kwargs(scene))
     occ = res["hit"]
-    occ = occ | spheres_occluded(scene.spheres, o, d, t_limit)
-    occ = occ | triangles_occluded(scene.triangles, o, d, t_limit)
+    occ = occ | spheres_occluded(scene.spheres, o3, d3, t_limit)
+    occ = occ | triangles_occluded(scene.triangles, o3, d3, t_limit)
     return occ
 
 
 def material_exit_world(scene: SceneData, o, d, vol_idx, mode_code, mask):
     """Per-ray FindMaterialExit/FindSmokeExit through the ray's own volume
-    (renderer.cpp:1160-1179, 1265-1280).  Returns (in_volume, t, normal)."""
-    n = o.shape[0]
-    res = dda.traverse(*_vol_args(scene), o, d, jnp.full(n, BIG, F32),
+    (renderer.cpp:1160-1179, 1265-1280).
+    Returns (in_volume, t, normal components)."""
+    o3 = o if not isinstance(o, tuple) else cstack(o)
+    d3 = d if not isinstance(d, tuple) else cstack(d)
+    n = o3.shape[0]
+    res = dda.traverse(*_vol_args(scene), o3, d3, jnp.full(n, BIG, F32),
                        mask, jnp.ones(scene.volumes.n, bool),
                        jnp.int32(1), jnp.int32(0), mode="exit",
                        mode_code=mode_code, vol_match=vol_idx,
                        **_brick_kwargs(scene))
-    normal = jnp.stack([res["nx"], res["ny"], res["nz"]], axis=-1)
-    return res["in_vol"], res["t"], normal
+    return res["in_vol"], res["t"], (res["nx"], res["ny"], res["nz"])
 
 
 # --------------------------------------------------------------------------
-# Lighting (NEE) — renderer.cpp:102-207, 315-338, 738-764
+# Materials / lighting (NEE) — renderer.cpp:102-207, 315-338, 738-764
 # --------------------------------------------------------------------------
 
 def _albedo(scene, mat):
     return jnp.take(scene.materials.albedo, mat, axis=0)
 
 
+def _albedo_c(scene, mat):
+    return cpack(jnp.take(scene.materials.albedo, mat, axis=0))
+
+
+def _sky_c(scene, cfg, d):
+    return cpack(sample_sky(scene.sky, cstack(d), cfg.activate_sky,
+                            cfg.sky_fallback))
+
+
 def _light_contribution(scene: SceneData, cfg: RenderConfig, p, nrm, alb,
                         kind: str, idx, active, key):
     """Evaluate one light (per-type formulas) for all rays; one shadow pass.
-    kind selects the bank; idx is a per-ray index into it."""
+    p, nrm, alb are component tuples.  Returns a component tuple."""
     L = scene.lights
+    nrays = p[0].shape[0]
     if kind == "point":
-        lpos = jnp.take(L.point_pos, idx, axis=0)
-        lcol = jnp.take(L.point_color, idx, axis=0)
-        to_l = lpos - p
-        dst = jnp.sqrt((to_l * to_l).sum(-1))
-        dirn = to_l / dst[:, None]
-        cos_t = (dirn * nrm).sum(-1)
+        lpos = cpack(jnp.take(L.point_pos, idx, axis=0))
+        lcol = cpack(jnp.take(L.point_color, idx, axis=0))
+        to_l = csub(lpos, p)
+        dst = jnp.sqrt(cdot(to_l, to_l))
+        dirn = cscale(1.0 / dst, to_l)
+        cos_t = cdot(dirn, nrm)
         gate = cos_t > 0.0
-        intensity = cos_t[:, None] * lcol / (dst * dst)[:, None]
+        scale = cos_t / (dst * dst)
+        intensity = cscale(scale, lcol)
         shadow_t = dst
     elif kind == "spot":
-        lpos = jnp.take(L.spot_pos, idx, axis=0)
-        ldir = jnp.take(L.spot_dir, idx, axis=0)
-        lcol = jnp.take(L.spot_color, idx, axis=0)
+        lpos = cpack(jnp.take(L.spot_pos, idx, axis=0))
+        ldir = cpack(jnp.take(L.spot_dir, idx, axis=0))
+        lcol = cpack(jnp.take(L.spot_color, idx, axis=0))
         lcos = jnp.take(L.spot_cos_angle, idx, axis=0)
-        to_l = lpos - p
-        dst = jnp.sqrt((to_l * to_l).sum(-1))
-        dirn = to_l / dst[:, None]
-        cos_t = (dirn * ldir).sum(-1)
+        to_l = csub(lpos, p)
+        dst = jnp.sqrt(cdot(to_l, to_l))
+        dirn = cscale(1.0 / dst, to_l)
+        cos_t = cdot(dirn, ldir)
         gate = cos_t > lcos
         alpha = 1.0 - (1.0 - cos_t) / (1.0 - lcos)
-        intensity = cos_t[:, None] * lcol / (dst * dst)[:, None] * alpha[:, None]
+        intensity = cscale(cos_t / (dst * dst) * alpha, lcol)
         shadow_t = dst
     elif kind == "dir":
-        dirn = jnp.broadcast_to(-L.dir_direction, p.shape)
-        cos_t = (dirn * nrm).sum(-1)
+        dirn = tuple(jnp.broadcast_to(-L.dir_direction[i], (nrays,))
+                     for i in range(3))
+        cos_t = cdot(dirn, nrm)
         gate = cos_t > 0.0
-        intensity = cos_t[:, None] * L.dir_color
-        shadow_t = jnp.full(p.shape[0], BIG, F32)
-    elif kind == "area":
-        # handled by _area_contribution (multi-sample)
-        raise AssertionError
-    origin = mathx.offset_ray(p, nrm, jnp)
+        intensity = cscale(cos_t, tuple(L.dir_color[i] for i in range(3)))
+        shadow_t = jnp.full(nrays, BIG, F32)
+    else:
+        raise AssertionError(kind)
+    origin = coffset(p, nrm)
     need = active & gate
     occ = is_occluded_world(scene, origin, dirn, shadow_t, need)
     lit = need & ~occ
-    return jnp.where(lit[:, None], intensity * alb, 0.0)
+    zero = (jnp.zeros(nrays, F32),) * 3
+    return cwhere(lit, cmul(intensity, alb), zero)
 
 
 def _area_contribution(scene, cfg, p, nrm, alb, idx, active, key):
     """Sphere area light, numCheckShadowsAreaLight stochastic samples
     (renderer.cpp:161-207)."""
     L = scene.lights
-    lpos = jnp.take(L.area_pos, idx, axis=0)
-    lcol = jnp.take(L.area_color, idx, axis=0)
+    nrays = p[0].shape[0]
+    lpos = cpack(jnp.take(L.area_pos, idx, axis=0))
+    lcol = cpack(jnp.take(L.area_color, idx, axis=0))
     lmul = jnp.take(L.area_mult, idx, axis=0)
     lrad = jnp.take(L.area_radius, idx, axis=0)
-    origin = mathx.offset_ray(p, nrm, jnp)
-    acc = jnp.zeros_like(p)
+    origin = coffset(p, nrm)
+    acc = (jnp.zeros(nrays, F32),) * 3
     for k in range(cfg.num_area_samples):
-        gk = jax.random.normal(jax.random.fold_in(key, k), p.shape, F32)
-        target = positive_octant_dir(gk, jnp) * lrad[:, None] + lpos
-        to_l = target - p
-        dst = jnp.sqrt((to_l * to_l).sum(-1))
-        dirn = to_l / dst[:, None]
-        cos_t = (dirn * nrm).sum(-1)
+        gk = jax.random.normal(jax.random.fold_in(key, k), (3, nrays), F32)
+        rnd = coctant_dir((gk[0], gk[1], gk[2]))
+        target = cadd(cscale(lrad, rnd), lpos)
+        to_l = csub(target, p)
+        dst = jnp.sqrt(cdot(to_l, to_l))
+        dirn = cscale(1.0 / dst, to_l)
+        cos_t = cdot(dirn, nrm)
         need = active & (cos_t > 0.0)
         occ = is_occluded_world(scene, origin, dirn, dst, need)
         lit = need & ~occ
-        contrib = (cos_t * lmul * lrad * lrad * (4.0 * jnp.pi) / (dst * dst))[:, None] * lcol
-        acc = acc + jnp.where(lit[:, None], contrib, 0.0)
-    return acc / cfg.num_area_samples * alb
+        scale = cos_t * lmul * lrad * lrad * (4.0 * jnp.pi) / (dst * dst)
+        contrib = cscale(scale, lcol)
+        acc = cwhere(lit, cadd(acc, contrib), acc)
+    return cmul(cscale(1.0 / cfg.num_area_samples, acc), alb)
 
 
 def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key):
     """Renderer::Illumination (renderer.cpp:738-764): one random light
     scaled by lightCount, or the deterministic all-lights sum (same
-    expectation) when cfg.deterministic_lights."""
+    expectation) when cfg.deterministic_lights.
+
+    p, nrm: component tuples (or [N, 3] arrays — auto-converted).
+    Returns a component tuple."""
+    if not isinstance(p, tuple):
+        p = cpack(p)
+    if not isinstance(nrm, tuple):
+        nrm = cpack(nrm)
     L = scene.lights
     n_p, n_a, n_s = L.n_point, L.n_area, L.n_spot
     total = L.count
-    alb = _albedo(scene, mat)
+    alb = _albedo_c(scene, mat)
+    nrays = p[0].shape[0]
+    zero = (jnp.zeros(nrays, F32),) * 3
 
     if cfg.deterministic_lights:
-        acc = jnp.zeros_like(p)
+        acc = zero
         for i in range(n_p):
-            acc += _light_contribution(scene, cfg, p, nrm, alb, "point",
-                                       jnp.full(p.shape[0], i, jnp.int32), active, key)
+            acc = cadd(acc, _light_contribution(
+                scene, cfg, p, nrm, alb, "point",
+                jnp.full(nrays, i, jnp.int32), active, key))
         for i in range(n_a):
-            acc += _area_contribution(scene, cfg, p, nrm, alb,
-                                      jnp.full(p.shape[0], i, jnp.int32), active,
-                                      jax.random.fold_in(key, 1000 + i))
+            acc = cadd(acc, _area_contribution(
+                scene, cfg, p, nrm, alb, jnp.full(nrays, i, jnp.int32),
+                active, jax.random.fold_in(key, 1000 + i)))
         for i in range(n_s):
-            acc += _light_contribution(scene, cfg, p, nrm, alb, "spot",
-                                       jnp.full(p.shape[0], i, jnp.int32), active, key)
-        acc += _light_contribution(scene, cfg, p, nrm, alb, "dir",
-                                   jnp.zeros(p.shape[0], jnp.int32), active, key)
+            acc = cadd(acc, _light_contribution(
+                scene, cfg, p, nrm, alb, "spot",
+                jnp.full(nrays, i, jnp.int32), active, key))
+        acc = cadd(acc, _light_contribution(
+            scene, cfg, p, nrm, alb, "dir",
+            jnp.zeros(nrays, jnp.int32), active, key))
         return acc
 
-    u = jax.random.uniform(jax.random.fold_in(key, 7), (p.shape[0],), F32)
+    u = jax.random.uniform(jax.random.fold_in(key, 7), (nrays,), F32)
     idx = jnp.minimum((u * total).astype(jnp.int32), total - 1)
-    acc = jnp.zeros_like(p)
+    acc = zero
     if n_p:
         sel = idx < n_p
-        acc += jnp.where(sel[:, None], _light_contribution(
-            scene, cfg, p, nrm, alb, "point",
-            jnp.clip(idx, 0, n_p - 1), active & sel, key), 0.0)
+        c = _light_contribution(scene, cfg, p, nrm, alb, "point",
+                                jnp.clip(idx, 0, n_p - 1), active & sel, key)
+        acc = cwhere(sel, cadd(acc, c), acc)
     if n_a:
         sel = (idx >= n_p) & (idx < n_p + n_a)
-        acc += jnp.where(sel[:, None], _area_contribution(
-            scene, cfg, p, nrm, alb, jnp.clip(idx - n_p, 0, n_a - 1),
-            active & sel, jax.random.fold_in(key, 11)), 0.0)
+        c = _area_contribution(scene, cfg, p, nrm, alb,
+                               jnp.clip(idx - n_p, 0, n_a - 1),
+                               active & sel, jax.random.fold_in(key, 11))
+        acc = cwhere(sel, cadd(acc, c), acc)
     if n_s:
         sel = (idx >= n_p + n_a) & (idx < n_p + n_a + n_s)
-        acc += jnp.where(sel[:, None], _light_contribution(
-            scene, cfg, p, nrm, alb, "spot",
-            jnp.clip(idx - n_p - n_a, 0, n_s - 1), active & sel, key), 0.0)
+        c = _light_contribution(scene, cfg, p, nrm, alb, "spot",
+                                jnp.clip(idx - n_p - n_a, 0, n_s - 1),
+                                active & sel, key)
+        acc = cwhere(sel, cadd(acc, c), acc)
     sel = idx >= n_p + n_a + n_s
-    acc += jnp.where(sel[:, None], _light_contribution(
-        scene, cfg, p, nrm, alb, "dir",
-        jnp.zeros(p.shape[0], jnp.int32), active & sel, key), 0.0)
-    return acc * total
+    c = _light_contribution(scene, cfg, p, nrm, alb, "dir",
+                            jnp.zeros(nrays, jnp.int32), active & sel, key)
+    acc = cwhere(sel, cadd(acc, c), acc)
+    return cscale(float(total), acc)
 
 
 # --------------------------------------------------------------------------
-# Path integrator (wavefront) — renderer.cpp:1076-1328 flattened
+# Path integrator (wavefront, SoA) — renderer.cpp:1076-1328 flattened
 # --------------------------------------------------------------------------
 
 def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key):
-    """Full stochastic light transport; returns radiance [N, 3]."""
+    """Full stochastic light transport; o, d: [N, 3].  Returns [N, 3]."""
     n = o.shape[0]
+    zero3 = (jnp.zeros(n, F32),) * 3
+    one3 = (jnp.ones(n, F32),) * 3
     state = dict(
-        o=o, d=d,
-        throughput=jnp.ones((n, 3), F32),
-        radiance=jnp.zeros((n, 3), F32),
+        o=cpack(o), d=cpack(d),
+        tp=one3, rad=zero3,
         in_glass=jnp.zeros(n, bool),
         active=jnp.ones(n, bool),
     )
 
-    def bounce(state, depth):
+    def bounce(carry):
+        st, depth = carry
         bkey = jax.random.fold_in(key, depth)
-        o, d, active = state["o"], state["d"], state["active"]
-        hitrec = find_nearest_world(scene, o, d, active)
-        t, mat, nrm, vol = hitrec["t"], hitrec["mat"], hitrec["normal"], hitrec["vol"]
-        in_glass = jnp.where(hitrec["prim_adopt"], hitrec["prim_inside"],
-                             state["in_glass"])
+        o, d, active = st["o"], st["d"], st["active"]
+        rec = find_nearest_world(scene, o, d, active)
+        t, mat, vol = rec["t"], rec["mat"], rec["vol"]
+        nrm = (rec["nx"], rec["ny"], rec["nz"])
+        in_glass = jnp.where(rec["prim_adopt"], rec["prim_inside"],
+                             st["in_glass"])
 
         # miss -> sky, terminate (renderer.cpp:1092-1095)
         miss = active & (mat == MAT_NONE)
-        sky = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
-        radiance = state["radiance"] + jnp.where(
-            miss[:, None], state["throughput"] * sky, 0.0)
+        sky = _sky_c(scene, cfg, d)
+        rad = cwhere(miss, cadd(st["rad"], cmul(st["tp"], sky)), st["rad"])
         active = active & ~miss
 
-        alb = _albedo(scene, mat)
+        alb = _albedo_c(scene, mat)
         rough = jnp.take(scene.materials.roughness, mat)
         emis = jnp.take(scene.materials.emissive, mat)
         ior = jnp.take(scene.materials.ior, mat)
@@ -318,135 +428,126 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key):
         is_emissive = mat == EMISSIVE
         is_model = (mat > EMISSIVE) & (mat != MAT_NONE)
 
-        p_hit = o + t[:, None] * d
-
         # ---- emissive: terminal (renderer.cpp:1315-1316)
         emis_mask = active & is_emissive
-        radiance = radiance + jnp.where(
-            emis_mask[:, None], state["throughput"] * alb * emis[:, None], 0.0)
+        rad = cwhere(emis_mask,
+                     cadd(rad, cmul(st["tp"], cscale(emis, alb))), rad)
 
         # ---- dielectric / smoke medium march (glass & smoke share it)
         march = active & in_glass & (is_glass_m | is_smoke) & (vol >= 0)
         mode_code = jnp.where(is_glass_m, dda.EXIT_GLASS, dda.EXIT_SMOKE)
         in_vol, t_exit, nrm_exit = material_exit_world(
             scene, o, d, vol, mode_code, march)
-        # marched rays: t := exit t; normal := exit normal if still inside
         t = jnp.where(march, t_exit, t)
-        nrm = jnp.where((march & in_vol)[:, None], nrm_exit, nrm)
+        nrm = cwhere(march & in_vol, nrm_exit, nrm)
         # fell off the grid: move origin to boundary, t=0 (renderer.cpp:1175-1179)
         fell = march & ~in_vol
-        o = jnp.where(fell[:, None], o + t[:, None] * d, o)
+        o = cwhere(fell, cadd(o, cscale(t, d)), o)
         t = jnp.where(fell, 0.0, t)
-        p_hit = o + t[:, None] * d
+        p_hit = cadd(o, cscale(t, d))
 
         # ---- NEE for diffuse-ish lobes
         u_lobe = jax.random.uniform(jax.random.fold_in(bkey, 1), (n,), F32)
-        cos_in = jnp.clip((-d * nrm).sum(-1), a_max=1.0)
+        cos_in = jnp.clip(cdot(cneg(d), nrm), a_max=1.0)
         go_diffuse = u_lobe > mathx.schlick_nonmetal(cos_in)
         nee_mask = active & ((is_nonmetal & go_diffuse) | is_model)
         inc = illumination(scene, cfg, p_hit, nrm, mat, nee_mask,
                            jax.random.fold_in(bkey, 2))
-        # nonmetal: radiance += T * inc ; model: radiance += T * alb * inc
-        radiance = radiance + jnp.where(
-            (nee_mask & is_nonmetal)[:, None], state["throughput"] * inc, 0.0)
-        radiance = radiance + jnp.where(
-            (nee_mask & is_model)[:, None], state["throughput"] * alb * inc, 0.0)
+        # nonmetal: rad += T * inc ; model: rad += T * alb * inc
+        rad = cwhere(nee_mask & is_nonmetal, cadd(rad, cmul(st["tp"], inc)), rad)
+        rad = cwhere(nee_mask & is_model,
+                     cadd(rad, cmul(st["tp"], cmul(alb, inc))), rad)
 
         # ---- continuation directions per lobe
-        u_sph = jax.random.uniform(jax.random.fold_in(bkey, 3), (n, 3), F32)
-        g_hemi = jax.random.normal(jax.random.fold_in(bkey, 4), (n, 3), F32)
-        refl = mathx.reflect(d, nrm)
-        spec_dir = refl + rough[:, None] * sphere_sample(u_sph, jnp)
-        diff_dir = lambertian_dir(nrm, u_sph, jnp)
-        model_dir = uniform_hemisphere_dir(nrm, g_hemi, jnp)
+        u_sph = jax.random.uniform(jax.random.fold_in(bkey, 3), (3, n), F32)
+        g_hemi = jax.random.normal(jax.random.fold_in(bkey, 4), (3, n), F32)
+        refl = creflect(d, nrm)
+        sph = csphere_sample(u_sph[0], u_sph[1], u_sph[2])
+        spec_dir = cadd(refl, cscale(rough, sph))
+        diff_dir = cadd(nrm, sph)  # RandomLambertianReflectionVector
+        model_dir = chemisphere_dir(nrm, (g_hemi[0], g_hemi[1], g_hemi[2]))
 
         # glass: Fresnel reflect-or-refract (renderer.cpp:1181-1208)
         ratio = jnp.where(in_glass, ior, 1.0 / ior)
-        cos_g = jnp.minimum((-d * nrm).sum(-1), 1.0)
+        cos_g = jnp.minimum(cdot(cneg(d), nrm), 1.0)
         sin_g = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_g * cos_g))
         cannot_refract = ratio * sin_g > 1.0
-        u_fresnel = jax.random.uniform(jax.random.fold_in(bkey, 5), (n,), F32)
-        do_reflect = cannot_refract | (mathx.schlick(cos_g, ratio, jnp) > u_fresnel)
-        refr_dir = mathx.refract(d, nrm, ratio, jnp)
-        glass_dir = jnp.where(do_reflect[:, None], refl, refr_dir)
-        glass_norm = jnp.where(do_reflect[:, None], nrm, -nrm)
+        u_f = jax.random.uniform(jax.random.fold_in(bkey, 5), (n,), F32)
+        do_reflect = cannot_refract | (mathx.schlick(cos_g, ratio, jnp) > u_f)
+        refr_dir = crefract(d, nrm, ratio)
+        glass_dir = cwhere(do_reflect, refl, refr_dir)
+        glass_norm = cwhere(do_reflect, nrm, cneg(nrm))
         glass_flip = active & is_glass_m & ~do_reflect
 
         # smoke: stochastic in-scatter (renderer.cpp:1282-1289), then the
         # unconditional ratio-1 "refraction" pass-through
         intensity = jnp.where(in_glass & is_smoke, emis, 0.0)
         dist = jnp.where(march, t, 0.0)
-        u_s = jax.random.uniform(jax.random.fold_in(bkey, 6), (n, 2), F32)
-        g_oct = jax.random.normal(jax.random.fold_in(bkey, 8), (n, 3), F32)
-        thresh = u_s[:, 0] * 100.0 - intensity
-        scatter = active & is_smoke & (u_s[:, 1] * dist > thresh)
-        scat_t = t * 0.45 + u_s[:, 0] * (t - t * 0.45)  # Rand(t*.45, t)
-        o = jnp.where(scatter[:, None], o + d * scat_t[:, None], o)
-        d_sc = positive_octant_dir(g_oct, jnp)
-        d = jnp.where(scatter[:, None], d_sc, d)
+        u_s = jax.random.uniform(jax.random.fold_in(bkey, 6), (2, n), F32)
+        g_oct = jax.random.normal(jax.random.fold_in(bkey, 8), (3, n), F32)
+        thresh = u_s[0] * 100.0 - intensity
+        scatter = active & is_smoke & (u_s[1] * dist > thresh)
+        scat_t = t * 0.45 + u_s[0] * (t - t * 0.45)  # Rand(t*.45, t)
+        o = cwhere(scatter, cadd(o, cscale(scat_t, d)), o)
+        d = cwhere(scatter, coctant_dir((g_oct[0], g_oct[1], g_oct[2])), d)
         t = jnp.where(scatter, 0.0, t)
-        p_hit = o + t[:, None] * d
-        smoke_trans = mathx.absorption(_albedo(scene, mat), intensity, dist, jnp)
-        # NOTE: the ratio-1 refract leaves direction unchanged, so the smoke
-        # continuation is just d with origin offset along -normal.
+        p_hit = cadd(o, cscale(t, d))
+        # Absorption REPLACES the color (renderer.cpp:1290, 1596-1608)
+        smoke_trans = tuple(
+            jnp.exp(-dist * intensity * (1.0 - alb[i])) for i in range(3))
+        # the ratio-1 refract leaves direction unchanged: continuation is d.
 
         # ---- select continuation
-        new_d = jnp.where(is_metal[:, None], spec_dir, d)
-        new_d = jnp.where((is_nonmetal & go_diffuse)[:, None], diff_dir, new_d)
-        new_d = jnp.where((is_nonmetal & ~go_diffuse)[:, None], spec_dir, new_d)
-        new_d = jnp.where(is_glass_m[:, None], glass_dir, new_d)
-        new_d = jnp.where(is_model[:, None], model_dir, new_d)
-        new_d = _unit(new_d)
+        new_d = cwhere(is_metal, spec_dir, d)
+        new_d = cwhere(is_nonmetal & go_diffuse, diff_dir, new_d)
+        new_d = cwhere(is_nonmetal & ~go_diffuse, spec_dir, new_d)
+        new_d = cwhere(is_glass_m, glass_dir, new_d)
+        new_d = cwhere(is_model, model_dir, new_d)
+        new_d = cunit(new_d)
 
         off_n = nrm
-        off_n = jnp.where(is_glass_m[:, None], glass_norm, off_n)
-        off_n = jnp.where(is_smoke[:, None], -nrm, off_n)
-        new_o = mathx.offset_ray(p_hit, off_n, jnp)
+        off_n = cwhere(is_glass_m, glass_norm, off_n)
+        off_n = cwhere(is_smoke, cneg(nrm), off_n)
+        new_o = coffset(p_hit, off_n)
 
         # ---- throughput updates
-        tp = state["throughput"]
-        tp = jnp.where((active & is_metal)[:, None], tp * alb, tp)
-        tp = jnp.where((active & is_nonmetal & go_diffuse)[:, None], tp * alb, tp)
-        glass_color = jnp.where(in_glass[:, None], alb, 1.0)
-        tp = jnp.where((active & is_glass_m)[:, None], tp * glass_color, tp)
-        tp = jnp.where((active & is_smoke)[:, None], tp * smoke_trans, tp)
-        tp = jnp.where((active & is_model)[:, None], tp * alb, tp)
+        tp = st["tp"]
+        tp = cwhere(active & (is_metal | (is_nonmetal & go_diffuse) | is_model),
+                    cmul(tp, alb), tp)
+        glass_color = cwhere(in_glass, alb, one3)
+        tp = cwhere(active & is_glass_m, cmul(st["tp"], glass_color), tp)
+        tp = cwhere(active & is_smoke, cmul(st["tp"], smoke_trans), tp)
 
-        new_in_glass = in_glass
         new_in_glass = jnp.where(glass_flip | (active & is_smoke),
-                                 ~in_glass, new_in_glass)
-
+                                 ~in_glass, in_glass)
         new_active = active & ~is_emissive
 
-        return dict(
-            o=jnp.where(new_active[:, None], new_o, o),
-            d=jnp.where(new_active[:, None], new_d, d),
-            throughput=tp,
-            radiance=radiance,
-            in_glass=new_in_glass,
-            active=new_active,
-        ), None
+        st = dict(
+            o=cwhere(new_active, new_o, o),
+            d=cwhere(new_active, new_d, d),
+            tp=tp, rad=rad, in_glass=new_in_glass, active=new_active,
+        )
+        return st, depth + 1
 
-    # depth loop with early exit: the reference recursion simply stops when
-    # rays terminate; a fixed scan would pay every bounce for a dead
-    # wavefront (Trace depth semantics: maxBounces+1 segments,
-    # renderer.cpp:1076-1083)
+    # depth loop with early exit (Trace depth semantics: maxBounces+1
+    # segments, renderer.cpp:1076-1083)
     def cond(carry):
         st, depth = carry
         return (depth < cfg.max_bounces + 1) & jnp.any(st["active"])
 
-    def step(carry):
-        st, depth = carry
-        st, _ = bounce(st, depth)
-        return st, depth + 1
-
-    state, _ = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
-    return state["radiance"]
+    st, _ = jax.lax.while_loop(cond, bounce, (state, jnp.int32(0)))
+    return cstack(st["rad"])
 
 
 # --------------------------------------------------------------------------
-# Deterministic Whitted integrator (recursive, Fresnel-split)
+# Deterministic Whitted integrator (recursive, Fresnel-split) — [N, 3] path,
+# used by golden tests and the whitted benchmark configs
 # --------------------------------------------------------------------------
+
+def _unit(v):
+    n = jnp.sqrt((v * v).sum(-1, keepdims=True))
+    return v / jnp.maximum(n, 1e-20)
+
 
 def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
                   in_glass=None, active=None):
@@ -480,7 +581,7 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
     mode_code = jnp.where(is_glass_m, dda.EXIT_GLASS, dda.EXIT_SMOKE)
     in_vol, t_exit, nrm_exit = material_exit_world(scene, o, d, vol, mode_code, march)
     t = jnp.where(march, t_exit, t)
-    nrm = jnp.where((march & in_vol)[:, None], nrm_exit, nrm)
+    nrm = jnp.where((march & in_vol)[:, None], cstack(nrm_exit), nrm)
     fell = march & ~in_vol
     o = jnp.where(fell[:, None], o + t[:, None] * d, o)
     t = jnp.where(fell, 0.0, t)
@@ -492,7 +593,8 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
 
     # diffuse: deterministic NEE sum only
     nee_mask = active & is_diffuse
-    inc = illumination(scene, cfg, p_hit, nrm, mat, nee_mask, jax.random.PRNGKey(0))
+    inc = cstack(illumination(scene, cfg, p_hit, nrm, mat, nee_mask,
+                              jax.random.PRNGKey(0)))
     is_model = (mat > EMISSIVE) & (mat != MAT_NONE)
     color = color + jnp.where((nee_mask & ~is_model)[:, None], inc, 0.0)
     color = color + jnp.where((nee_mask & is_model)[:, None], inc * alb, 0.0)
@@ -501,13 +603,12 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
         return color
 
     # metal: perfect mirror
-    refl = mathx.reflect(d, nrm)
+    refl = cstack(creflect(cpack(d), cpack(nrm)))
     metal_mask = active & is_metal
-    if True:
-        mo = mathx.offset_ray(p_hit, nrm, jnp)
-        sub = trace_whitted(scene, cfg, mo, _unit(refl), depth - 1,
-                            jnp.zeros(n, bool), metal_mask)
-        color = color + jnp.where(metal_mask[:, None], sub * alb, 0.0)
+    mo = cstack(coffset(cpack(p_hit), cpack(nrm)))
+    sub = trace_whitted(scene, cfg, mo, _unit(refl), depth - 1,
+                        jnp.zeros(n, bool), metal_mask)
+    color = color + jnp.where(metal_mask[:, None], sub * alb, 0.0)
 
     # glass: deterministic Fresnel split + smoke pass-through
     glass_mask = active & is_glass_m
@@ -529,16 +630,16 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
     if cfg.whitted_glass_split:
         # reflected branch (glass only, weight r)
         need_refl = glass_mask & (r_coef > 0.0)
-        ro = mathx.offset_ray(p_hit, nrm, jnp)
+        ro = cstack(coffset(cpack(p_hit), cpack(nrm)))
         sub_r = trace_whitted(scene, cfg, ro, _unit(refl), depth - 1,
                               in_glass, need_refl)
         color = color + jnp.where(need_refl[:, None],
                                   sub_r * media_color * r_coef[:, None], 0.0)
         # refracted branch (weight 1-r); smoke passes straight through
-        refr_dir = mathx.refract(d, nrm, ratio, jnp)
+        refr_dir = cstack(crefract(cpack(d), cpack(nrm), ratio))
         refr_dir = jnp.where(smoke_mask[:, None], d, refr_dir)
         need_refr = media_mask & (r_coef < 1.0)
-        fo = mathx.offset_ray(p_hit, -nrm, jnp)
+        fo = cstack(coffset(cpack(p_hit), cpack(-nrm)))
         sub_t = trace_whitted(scene, cfg, fo, _unit(refr_dir), depth - 1,
                               jnp.where(media_mask, ~in_glass, in_glass),
                               need_refr)
@@ -618,14 +719,17 @@ def _render_band(scene: SceneData, cfg: RenderConfig, key, row0, rows: int,
 
 def render_tiled(scene: SceneData, cfg: RenderConfig, key, spp: int = 1,
                  tiles: int = 8):
-    """Render in row bands to bound peak memory — the [V, N_band] traversal
-    state of a full 1080p wavefront exceeds the chip's HBM (the reference's
-    scanline partitioning, renderer.cpp:1662, reborn as a memory tool).
-    One compile serves all bands (row0 is a traced scalar)."""
+    """Render in row bands: bounds peak memory (a full 1080p wavefront's
+    [V, N] traversal state exceeds HBM) AND shortens the lockstep loop (a
+    band's worst-case ray governs only its own band).  One compile serves
+    all bands (row0 is traced)."""
     import numpy as np
 
     h, w = cfg.height, cfg.width
     rows = -(-h // tiles)
+    # NOTE: collect each band synchronously — bulk async dispatch through
+    # the remote-device transport stalls (measured); per-band sync is
+    # reliable and the loop savings come from the banding itself.
     out = np.zeros((h, w, 3), np.float32)
     for b in range(tiles):
         row0 = min(b * rows, h - rows)

@@ -45,6 +45,7 @@ from voxtracer.render.integrator import (
     _albedo,
     _pixel_grid,
     _unit,
+    cstack,
     find_nearest_world,
     illumination,
     is_occluded_world,
@@ -129,7 +130,7 @@ def trace_reproject(scene: SceneData, cfg: RenderConfig, o, d, key):
         in_vol, t_exit, nrm_exit = material_exit_world(scene, o, d, vol,
                                                        mode_code, march)
         t = jnp.where(march, t_exit, t)
-        nrm = jnp.where((march & in_vol)[:, None], nrm_exit, nrm)
+        nrm = jnp.where((march & in_vol)[:, None], cstack(nrm_exit), nrm)
         fell = march & ~in_vol
         o = jnp.where(fell[:, None], o + t[:, None] * d, o)
         t = jnp.where(fell, 0.0, t)
@@ -180,8 +181,8 @@ def trace_reproject(scene: SceneData, cfg: RenderConfig, o, d, key):
         # NEE for diffuse lobes (nonmetal has NO spec split in reproject
         # mode, renderer.cpp:1342-1357)
         nee_mask = active & (is_nonmetal | is_model)
-        inc = illumination(scene, cfg, p_hit, nrm, mat, nee_mask,
-                           jax.random.fold_in(bkey, 2))
+        inc = cstack(illumination(scene, cfg, p_hit, nrm, mat, nee_mask,
+                                  jax.random.fold_in(bkey, 2)))
         # illumination bucket gets inc WITHOUT the lobe albedo; the albedo
         # multiplies at GetColor per level — except the first level where
         # it is the decomposed output
