@@ -41,6 +41,9 @@ def main():
     key = jax.random.PRNGKey(0)
     n_rays = WIDTH * HEIGHT
     tiles = int(os.environ.get("BENCH_TILES", 32))
+    # backward gradient scatters are table-sized per band: fewer, larger
+    # bands win there (measured: 16 bands ~42 s, 32 bands ~116 s)
+    tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 8))
 
     # ---- forward (hard path tracer), row-banded to bound HBM
     img = render_tiled(scene, cfg, key, 1, tiles)  # compile + warm
@@ -54,12 +57,12 @@ def main():
 
     # ---- fwd+bwd (differentiable integrator, gradients wrt density+albedo)
     params = params_from_scene(scene)
-    rows = -(-HEIGHT // tiles)
+    rows = -(-HEIGHT // tiles_bwd)
     target_band = jnp.zeros((rows, WIDTH, 3), jnp.float32)
 
     def full_grad(k):
         total = None
-        for b in range(tiles):
+        for b in range(tiles_bwd):
             row0 = jnp.float32(min(b * rows, HEIGHT - rows))
             g = grad_fn(params, scene, cfg, target_band, k, 96,
                         row0=row0, rows=rows)
@@ -85,4 +88,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from voxtracer.utils.retry import with_retries
+
+    with_retries(main, attempts=2, backoff_s=180.0)

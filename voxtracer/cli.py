@@ -46,7 +46,25 @@ def cmd_render(args):
         cfg = dataclasses.replace(cfg, mode=args.mode)
     if args.bounces:
         cfg = dataclasses.replace(cfg, max_bounces=args.bounces)
+    if args.dof:
+        cfg = dataclasses.replace(cfg, use_dof=True)
     scene = jax.tree.map(jnp.asarray, scene)
+
+    if args.dof:
+        # autofocus: trace the center pixel, clamp(t, -1, 1e4)
+        # (reference Tick, renderer.cpp:1987-1991)
+        from voxtracer.render.camera import primary_rays
+        from voxtracer.render.integrator import find_nearest_world
+
+        cx = jnp.asarray([cfg.width / 2.0], jnp.float32)
+        cy = jnp.asarray([cfg.height / 2.0], jnp.float32)
+        o, d = primary_rays(scene.camera, cfg.width, cfg.height, cx, cy, None, jnp)
+        rec = find_nearest_world(scene, o, d, jnp.ones(1, bool))
+        focal = float(np.clip(np.asarray(rec["t"])[0], -1.0, 1e4))
+        scene = scene.replace(camera=scene.camera.replace(
+            focal_distance=jnp.float32(focal),
+            defocus_jitter=jnp.float32(args.defocus)))
+        print(f"autofocus: focal distance {focal:.3f}")
 
     prog = ProgressiveState(cfg.height, cfg.width)
     report = FrameReport(cfg.width, cfg.height)
@@ -122,6 +140,10 @@ def main(argv=None):
     r.add_argument("--height", type=int, default=0)
     r.add_argument("--mode", choices=["primary", "whitted", "path"], default=None)
     r.add_argument("--bounces", type=int, default=0)
+    r.add_argument("--dof", action="store_true",
+                   help="thin-lens DOF with autofocus")
+    r.add_argument("--defocus", type=float, default=2.0,
+                   help="defocusJitter (camera.h:191)")
     r.add_argument("--frames", type=int, default=1)
     r.add_argument("--spp", type=int, default=1)
     r.add_argument("--seed", type=int, default=0)
