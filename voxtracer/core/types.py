@@ -124,6 +124,13 @@ class VoxVolumes:
     # cell value if the brick is uniform, else BRICK_MIXED (-1)
     bricks: np.ndarray  # [V, M, M, M] int32, M = ceil(G/8)
     bricksize: np.ndarray  # [V] i32 logical macro size (ceil(gridsize/8))
+    # bit-packed per-brick occupancy: 512 bits (one per 8^3 cell) in 16
+    # int32 words, LSB-first, bit index b = (fx*8+fy)*8+fz for the local
+    # cell (fx,fy,fz).  Three predicate planes (OCC_* indices below):
+    # the traversal fetches ONE row per brick crossing (a [T,16] row
+    # gather is ~3x cheaper per index than 1-D take on this hardware,
+    # PERF_NOTES.md) and then steps cell-by-cell with register bit tests.
+    occ: np.ndarray  # [3, V, M^3, 16] int32
 
     @property
     def n(self) -> int:
@@ -132,6 +139,12 @@ class VoxVolumes:
     @property
     def pad_size(self) -> int:
         return self.grids.shape[1]
+
+
+# occ predicate planes
+OCC_ANY = 0          # cell != MAT_NONE            (nearest / occluded)
+OCC_EXIT_GLASS = 1   # cell != GLASS               (FindMaterialExit leave)
+OCC_EXIT_SMOKE = 2   # cell outside smoke range    (FindSmokeExit leave)
 
 
 @struct.dataclass

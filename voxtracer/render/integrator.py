@@ -39,7 +39,7 @@ from voxtracer.core.types import (
     SMOKE_PLAYER,
     SceneData,
 )
-from voxtracer.kernels import dda
+from voxtracer.kernels import dda, dda_occ
 from voxtracer.kernels.primitives import (
     spheres_nearest,
     spheres_occluded,
@@ -154,6 +154,11 @@ def _brick_kwargs(scene: SceneData):
     return dict(bricks_flat=v.bricks.reshape(-1), bricksize=v.bricksize)
 
 
+def _occ_args(scene: SceneData):
+    v = scene.volumes
+    return dict(occ=v.occ, bricksize=v.bricksize)
+
+
 def find_nearest_world(scene: SceneData, o, d, active,
                        skip_lo=1, skip_hi=0, skip_first=False):
     """Renderer::FindNearest (renderer.cpp:946-1018) — all instances in ONE
@@ -167,10 +172,19 @@ def find_nearest_world(scene: SceneData, o, d, active,
     vol_enabled = jnp.ones(nvol, bool)
     if skip_first:
         vol_enabled = vol_enabled.at[0].set(False)
-    res = dda.traverse(*_vol_args(scene), o3, d3, jnp.full(n, BIG, F32),
-                       active, vol_enabled, jnp.int32(skip_lo),
-                       jnp.int32(skip_hi), mode="nearest",
-                       **_brick_kwargs(scene))
+    # occupancy-bitmask kernel for the hot no-skip case; the v1 per-cell
+    # kernel only for dynamic material skip ranges (game probes)
+    no_skip = (isinstance(skip_lo, int) and isinstance(skip_hi, int)
+               and skip_lo > skip_hi)
+    if no_skip:
+        res = dda_occ.traverse_occ(*_vol_args(scene), o3, d3,
+                                   jnp.full(n, BIG, F32), active, vol_enabled,
+                                   **_occ_args(scene), mode="nearest")
+    else:
+        res = dda.traverse(*_vol_args(scene), o3, d3, jnp.full(n, BIG, F32),
+                           active, vol_enabled, jnp.int32(skip_lo),
+                           jnp.int32(skip_hi), mode="nearest",
+                           **_brick_kwargs(scene))
     t, mat, vol = res["t"], jnp.where(res["hit"], res["cell"], MAT_NONE), res["vol"]
     nrm = (res["nx"], res["ny"], res["nz"])
 
@@ -203,10 +217,9 @@ def is_occluded_world(scene: SceneData, o, d, t_limit, active):
     """Renderer::IsOccluded (renderer.cpp:209-243) — one fused pass."""
     o3 = o if not isinstance(o, tuple) else cstack(o)
     d3 = d if not isinstance(d, tuple) else cstack(d)
-    res = dda.traverse(*_vol_args(scene), o3, d3, t_limit, active,
-                       jnp.ones(scene.volumes.n, bool),
-                       jnp.int32(1), jnp.int32(0), mode="occluded",
-                       **_brick_kwargs(scene))
+    res = dda_occ.traverse_occ(*_vol_args(scene), o3, d3, t_limit, active,
+                               jnp.ones(scene.volumes.n, bool),
+                               **_occ_args(scene), mode="occluded")
     occ = res["hit"]
     occ = occ | spheres_occluded(scene.spheres, o3, d3, t_limit)
     occ = occ | triangles_occluded(scene.triangles, o3, d3, t_limit)
@@ -220,11 +233,11 @@ def material_exit_world(scene: SceneData, o, d, vol_idx, mode_code, mask):
     o3 = o if not isinstance(o, tuple) else cstack(o)
     d3 = d if not isinstance(d, tuple) else cstack(d)
     n = o3.shape[0]
-    res = dda.traverse(*_vol_args(scene), o3, d3, jnp.full(n, BIG, F32),
-                       mask, jnp.ones(scene.volumes.n, bool),
-                       jnp.int32(1), jnp.int32(0), mode="exit",
-                       mode_code=mode_code, vol_match=vol_idx,
-                       **_brick_kwargs(scene))
+    res = dda_occ.traverse_occ(*_vol_args(scene), o3, d3,
+                               jnp.full(n, BIG, F32), mask,
+                               jnp.ones(scene.volumes.n, bool),
+                               **_occ_args(scene), mode="exit",
+                               mode_code=mode_code, vol_match=vol_idx)
     return res["in_vol"], res["t"], (res["nx"], res["ny"], res["nz"])
 
 

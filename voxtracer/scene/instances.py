@@ -67,6 +67,41 @@ def build_bricks(grid: np.ndarray, gridsize: int) -> np.ndarray:
     return out
 
 
+def pack_occupancy(pred: np.ndarray, mside: int) -> np.ndarray:
+    """[G8, G8, G8] bool (G8 = mside*8) -> [mside^3, 16] int32 brick bitmasks.
+
+    Bit b = (fx*8+fy)*8+fz of brick word b>>5, LSB-first — the layout the
+    traversal's register bit tests assume (kernels/dda_occ.py)."""
+    g8 = mside * BRICK
+    assert pred.shape == (g8, g8, g8)
+    p = (pred.reshape(mside, BRICK, mside, BRICK, mside, BRICK)
+         .transpose(0, 2, 4, 1, 3, 5)
+         .reshape(mside * mside * mside, BRICK ** 3))
+    bytes_ = np.packbits(p, axis=1, bitorder="little")  # [m^3, 64] u8
+    return bytes_.view("<u4").astype(np.int64).astype(np.int32).reshape(-1, 16)
+
+
+def build_occupancy(grids: np.ndarray) -> np.ndarray:
+    """[V, G, G, G] int grids -> [3, V, M^3, 16] int32 occupancy planes."""
+    from voxtracer.core.types import GLASS, SMOKE_LOW_DENSITY, SMOKE_PLAYER
+
+    v, g = grids.shape[0], grids.shape[1]
+    mside = max(1, -(-g // BRICK))
+    g8 = mside * BRICK
+    padded = np.full((v, g8, g8, g8), MAT_NONE, grids.dtype)
+    padded[:, :g, :g, :g] = grids
+    out = np.zeros((3, v, mside ** 3, 16), np.int32)
+    preds = (
+        padded != MAT_NONE,                                   # OCC_ANY
+        padded != GLASS,                                      # OCC_EXIT_GLASS
+        (padded < SMOKE_LOW_DENSITY) | (padded > SMOKE_PLAYER),  # OCC_EXIT_SMOKE
+    )
+    for k, pred in enumerate(preds):
+        for i in range(v):
+            out[k, i] = pack_occupancy(pred[i], mside)
+    return out
+
+
 def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVolumes:
     """Pad every instance grid to one static size and stack transforms."""
     if not specs:
@@ -99,6 +134,7 @@ def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVo
         cube_min=cube_min,
         bricks=bricks,
         bricksize=bricksize,
+        occ=build_occupancy(grids),
     )
 
 
