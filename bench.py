@@ -40,7 +40,7 @@ def main():
     scene = jax.tree.map(jnp.asarray, scene)
     key = jax.random.PRNGKey(0)
     n_rays = WIDTH * HEIGHT
-    tiles = int(os.environ.get("BENCH_TILES", 32))
+    tiles = int(os.environ.get("BENCH_TILES", 16))
     # backward gradient scatters are table-sized per band: fewer, larger
     # bands win there (measured: 16 bands ~42 s, 32 bands ~116 s)
     tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 8))
@@ -64,7 +64,9 @@ def main():
         total = None
         for b in range(tiles_bwd):
             row0 = jnp.float32(min(b * rows, HEIGHT - rows))
-            g = grad_fn(params, scene, cfg, target_band, k, 96,
+            # 48 per-volume-interval steps ~= 5x the effective sampling
+            # density of the old 96 union-span steps (diff/volumetric.py)
+            g = grad_fn(params, scene, cfg, target_band, k, 48,
                         row0=row0, rows=rows)
             np.asarray(g.albedo_table[:1, :1])
             total = g if total is None else jax.tree.map(jnp.add, total, g)

@@ -49,6 +49,29 @@ def params_from_scene(scene: SceneData, occupied_logit=6.0, empty_logit=-6.0) ->
                       albedo_table=jnp.asarray(scene.materials.albedo, F32))
 
 
+@jax.custom_vjp
+def _rows(table, idx):
+    """Row gather whose table-cotangent uses the MXU instead of scatter.
+
+    The natural adjoint of take(axis=0) into a tiny [256, 3] table is a
+    scatter-add with ~100% index collisions (~9 ns/row measured); the
+    one-hot matmul accumulation costs ~2.5 ns/row and is exact in f32."""
+    return jnp.take(table, idx, axis=0, mode="clip")
+
+
+def _rows_fwd(table, idx):
+    return _rows(table, idx), (idx, table.shape[0])
+
+
+def _rows_bwd(res, ct):
+    idx, t = res
+    oh = (idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]).astype(ct.dtype)
+    return jnp.dot(oh.T, ct, preferred_element_type=ct.dtype), None
+
+
+_rows.defvjp(_rows_fwd, _rows_bwd)
+
+
 def _ray_aabb(cube_min, o, d):
     """Entry/exit of the object-space unit cube; (t0, t1) with t0<t1 if hit."""
     rd = 1.0 / d
@@ -66,9 +89,10 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     """Primary-visibility differentiable render -> [H, W, 3] (or
     [rows, W, 3] when a row band is given — used to bound memory at 1080p).
 
-    Marches all volumes jointly in world-t order with fixed global steps
-    between the union of entry/exit ranges (handles overlaps without
-    sorting — densities add, albedos blend by weight)."""
+    Each ray x volume pair marches its own AABB interval with n_steps
+    samples; segments composite front-to-back by entry t (exact for
+    instance AABBs disjoint along the ray, entry-ordered approximation
+    for overlaps)."""
     from voxtracer.render.camera import primary_rays
     from voxtracer.render.integrator import _pixel_grid
 
@@ -118,24 +142,34 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     t1 = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
     hit = t1 > t0
 
-    t_near = jnp.where(hit, t0, jnp.inf).min(axis=0)  # [N]
-    t_far = jnp.where(hit, t1, -jnp.inf).max(axis=0)
-    valid = jnp.isfinite(t_near) & (t_far > t_near)
-    t_near = jnp.where(valid, t_near, 0.0)
-    t_far = jnp.where(valid, t_far, 1.0)
-    dt = (t_far - t_near) / n_steps  # [N]
+    # Each pair marches its OWN [t0, t1] interval (n_steps samples per
+    # volume crossing, not per union span): 6-10x finer effective sampling
+    # for the same gather/scatter traffic, and rays wasting steps in the
+    # gaps between instance AABBs vanish.  Volumes composite front-to-back
+    # by entry t after the march (exact for AABBs disjoint along the ray —
+    # overlap interleaving is approximated by entry order).
+    valid = jnp.any(hit, axis=0)  # [N]
+    t0p = jnp.where(hit, t0, 0.0)  # [V, N]
+    dt = jnp.where(hit, (t1 - t0) / n_steps, 0.0)  # [V, N]
 
     gs_f = scene.volumes.gridsize.astype(F32)[:, None]  # [V, 1]
     gs_i = scene.volumes.gridsize[:, None]
     dens_flat = (jax.nn.softplus(params.density_logits).reshape(-1)
                  * density_scale)  # [V * G^3]
-    mats_flat = scene.volumes.grids.reshape(-1)
+    # fuse per-cell fetches into ONE 2-D row gather: a [T, 2] row costs
+    # ~2.6 ns total vs 2 x 7.2 ns for 1-D takes (PERF_NOTES.md); column 0
+    # carries the differentiable density, column 1 the material id (f32 —
+    # exact for ids <= 255).  The VJP scatters rows back into the stack
+    # and the material column's cotangent is discarded by the slice.
+    cell_tab = jnp.stack(
+        [dens_flat, scene.volumes.grids.reshape(-1).astype(F32)], axis=1)
     vol_base = (jnp.arange(v, dtype=jnp.int32) * g * g * g)[:, None]
-    alb_t = params.albedo_table.T  # [3, 256]
+    # albedo as one [256, 3] row gather instead of 3 channel takes
+    alb_tab = params.albedo_table  # [256, 3]
 
     def step(carry, k):
-        trans, cr, cg_, cb_ = carry
-        t_mid = (t_near + (k + 0.5) * dt)[None, :]  # [1, N]
+        trans, cr, cg_, cb_ = carry  # all [V, N]
+        t_mid = t0p + (k + 0.5) * dt  # [V, N]
         lx = (vox + t_mid * vdx - bx) * gs_f
         ly = (voy + t_mid * vdy - by) * gs_f
         lz = (voz + t_mid * vdz - bz) * gs_f
@@ -145,33 +179,43 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
         inside = ((lx >= 0.0) & (lx < gs_f) & (ly >= 0.0) & (ly < gs_f)
                   & (lz >= 0.0) & (lz < gs_f))
         flat = (ix * g + iy) * g + iz + vol_base
-        s = jnp.where(inside, jnp.take(dens_flat, flat, mode="clip"), 0.0)
-        m = jnp.take(mats_flat, flat, mode="clip")  # [V, N]
-        sigma = s.sum(axis=0)  # [N]
-        # per-channel weighted albedo (gathers stay [V, N])
-        ar = jnp.take(alb_t[0], m, mode="clip")
-        ag = jnp.take(alb_t[1], m, mode="clip")
-        ab = jnp.take(alb_t[2], m, mode="clip")
-        wr = (s * ar).sum(axis=0)
-        wg = (s * ag).sum(axis=0)
-        wb = (s * ab).sum(axis=0)
-        alpha = 1.0 - jnp.exp(-sigma * dt)
-        inv_sigma = 1.0 / jnp.maximum(sigma, 1e-8)
-        wgt = trans * alpha * inv_sigma
-        cr = cr + wgt * wr
-        cg_ = cg_ + wgt * wg
-        cb_ = cb_ + wgt * wb
+        cells = jnp.take(cell_tab, flat.reshape(-1), axis=0, mode="clip")
+        s = jnp.where(inside, cells[:, 0].reshape(v, n), 0.0)
+        m = cells[:, 1].reshape(v, n).astype(jnp.int32)  # [V, N]
+        alb = _rows(alb_tab, m.reshape(-1))
+        alpha = 1.0 - jnp.exp(-s * dt)  # [V, N]
+        wgt = trans * alpha
+        cr = cr + wgt * alb[:, 0].reshape(v, n)
+        cg_ = cg_ + wgt * alb[:, 1].reshape(v, n)
+        cb_ = cb_ + wgt * alb[:, 2].reshape(v, n)
         trans = trans * (1.0 - alpha)
         return (trans, cr, cg_, cb_), None
 
-    init = (jnp.ones(n, F32), jnp.zeros(n, F32), jnp.zeros(n, F32),
-            jnp.zeros(n, F32))
+    init = (jnp.ones((v, n), F32), jnp.zeros((v, n), F32),
+            jnp.zeros((v, n), F32), jnp.zeros((v, n), F32))
     (trans, cr, cg_, cb_), _ = jax.lax.scan(
         jax.checkpoint(step), init, jnp.arange(n_steps, dtype=F32))
-    color = jnp.stack([cr, cg_, cb_], axis=-1)
+
+    # composite per-pair segments front-to-back by entry t (no sort: the
+    # prefix transmittance of segment v is the product over segments that
+    # start strictly earlier, index-ordered on ties)
+    order = t0p + jnp.where(hit, 0.0, 1e30)
+    idx_v = jnp.arange(v)[:, None]
+    out_r = jnp.zeros(n, F32)
+    out_g = jnp.zeros(n, F32)
+    out_b = jnp.zeros(n, F32)
+    for vi in range(v):
+        before = ((order[vi] > order)
+                  | ((order[vi] == order) & (vi > idx_v)))  # [V, N]
+        pf = jnp.prod(jnp.where(before, trans, 1.0), axis=0)  # [N]
+        out_r = out_r + pf * cr[vi]
+        out_g = out_g + pf * cg_[vi]
+        out_b = out_b + pf * cb_[vi]
+    t_total = jnp.prod(trans, axis=0)
+    color = jnp.stack([out_r, out_g, out_b], axis=-1)
 
     bg = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
-    img = color + trans[:, None] * bg
+    img = color + t_total[:, None] * bg
     img = jnp.where(valid[:, None], img, bg)
     return img.reshape(rows or cfg.height, cfg.width, 3)
 
