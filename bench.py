@@ -43,7 +43,7 @@ def main():
     tiles = int(os.environ.get("BENCH_TILES", 16))
     # backward gradient scatters are table-sized per band: fewer, larger
     # bands win there (measured: 16 bands ~42 s, 32 bands ~116 s)
-    tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 8))
+    tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 4))
 
     # ---- forward (hard path tracer), row-banded to bound HBM
     img = render_tiled(scene, cfg, key, 1, tiles)  # compile + warm

@@ -150,6 +150,18 @@ def traverse_occ(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
     stx, sty, stz = s["stx"], s["sty"], s["stz"]
 
     def body(st):
+        # ---- cross-pair pruning: a ray's best recorded hit bounds every
+        # one of its pairs (ordered-traversal effect without ordering);
+        # for occlusion any hit retires the whole ray.  Strictly-greater
+        # pruning keeps exact-t ties alive so the earliest-volume
+        # tie-break stays bit-identical to the v1 kernel.
+        if mode == "occluded":
+            ray_done = jnp.any(st["hit"], axis=0)
+            st = dict(st, active=st["active"] & ~ray_done[None, :])
+        elif not is_exit:
+            best = jnp.min(jnp.where(st["hit"], st["t_hit"], BIG), axis=0)
+            st = dict(st, active=st["active"] & (st["t"] <= best[None, :]))
+
         # ---- ONE row fetch per pair: current brick's 512 occupancy bits.
         # Macro pairs use it for the empty test; fine pairs for bit tests
         # (their macro position still points at the brick they walk).
