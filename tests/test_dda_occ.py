@@ -44,25 +44,31 @@ def _args(vols):
             jnp.asarray(vols.cube_min))
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
-def test_nearest_parity(seed):
+@pytest.mark.parametrize("seed,topk", [(0, 0), (1, 0), (2, 0),
+                                       (0, 1), (1, 2), (2, 2), (7, 2)])
+def test_nearest_parity(seed, topk):
     rng = np.random.default_rng(seed)
-    vols = _rand_scene(rng)
+    vols = _rand_scene(rng, nvol=4 if topk else 3)
     o, d = _rand_rays(rng)
     n = o.shape[0]
     act = jnp.ones(n, bool)
     tl = jnp.full(n, dda.BIG, jnp.float32)
     ven = jnp.ones(vols.n, bool)
-    grids_flat = jnp.asarray(vols.grids.reshape(-1))
 
     ref = dda.traverse(*_args(vols), o, d, tl, act, ven,
                        jnp.int32(1), jnp.int32(0), mode="nearest",
                        bricks_flat=jnp.asarray(vols.bricks.reshape(-1)),
                        bricksize=jnp.asarray(vols.bricksize))
-    new = dda_occ.traverse_occ(*_args(vols), o, d, tl, act, ven,
-                               occ=jnp.asarray(vols.occ),
-                               bricksize=jnp.asarray(vols.bricksize),
-                               mode="nearest")
+    if topk:
+        new = dda_occ.traverse_occ_topk(*_args(vols), o, d, tl, act, ven,
+                                        occ=jnp.asarray(vols.occ),
+                                        bricksize=jnp.asarray(vols.bricksize),
+                                        mode="nearest", k=topk)
+    else:
+        new = dda_occ.traverse_occ(*_args(vols), o, d, tl, act, ven,
+                                   occ=jnp.asarray(vols.occ),
+                                   bricksize=jnp.asarray(vols.bricksize),
+                                   mode="nearest")
     np.testing.assert_array_equal(np.asarray(ref["hit"]), np.asarray(new["hit"]))
     h = np.asarray(ref["hit"])
     np.testing.assert_allclose(np.asarray(ref["t"])[h], np.asarray(new["t"])[h],
@@ -76,10 +82,10 @@ def test_nearest_parity(seed):
                                    rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("seed", [3, 4])
-def test_occluded_parity(seed):
+@pytest.mark.parametrize("seed,topk", [(3, 0), (4, 0), (3, 2), (4, 1)])
+def test_occluded_parity(seed, topk):
     rng = np.random.default_rng(seed)
-    vols = _rand_scene(rng)
+    vols = _rand_scene(rng, nvol=4 if topk else 3)
     o, d = _rand_rays(rng)
     n = o.shape[0]
     act = jnp.ones(n, bool)
@@ -90,10 +96,16 @@ def test_occluded_parity(seed):
                        jnp.int32(1), jnp.int32(0), mode="occluded",
                        bricks_flat=jnp.asarray(vols.bricks.reshape(-1)),
                        bricksize=jnp.asarray(vols.bricksize))
-    new = dda_occ.traverse_occ(*_args(vols), o, d, tl, act, ven,
-                               occ=jnp.asarray(vols.occ),
-                               bricksize=jnp.asarray(vols.bricksize),
-                               mode="occluded")
+    if topk:
+        new = dda_occ.traverse_occ_topk(*_args(vols), o, d, tl, act, ven,
+                                        occ=jnp.asarray(vols.occ),
+                                        bricksize=jnp.asarray(vols.bricksize),
+                                        mode="occluded", k=topk)
+    else:
+        new = dda_occ.traverse_occ(*_args(vols), o, d, tl, act, ven,
+                                   occ=jnp.asarray(vols.occ),
+                                   bricksize=jnp.asarray(vols.bricksize),
+                                   mode="occluded")
     np.testing.assert_array_equal(np.asarray(ref["hit"]), np.asarray(new["hit"]))
 
 

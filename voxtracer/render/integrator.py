@@ -159,6 +159,14 @@ def _occ_args(scene: SceneData):
     return dict(occ=v.occ, bricksize=v.bricksize)
 
 
+def _topk(scene: SceneData) -> int:
+    """Candidate-volume budget per ray per round (kernels/dda_occ.py):
+    lockstep traversal cost scales with pairs, so compact to the K
+    earliest-entry volumes; most rays resolve in round one."""
+    v = scene.volumes.n
+    return v if v <= 2 else (2 if v <= 8 else 4)
+
+
 def find_nearest_world(scene: SceneData, o, d, active,
                        skip_lo=1, skip_hi=0, skip_first=False):
     """Renderer::FindNearest (renderer.cpp:946-1018) — all instances in ONE
@@ -177,9 +185,10 @@ def find_nearest_world(scene: SceneData, o, d, active,
     no_skip = (isinstance(skip_lo, int) and isinstance(skip_hi, int)
                and skip_lo > skip_hi)
     if no_skip:
-        res = dda_occ.traverse_occ(*_vol_args(scene), o3, d3,
-                                   jnp.full(n, BIG, F32), active, vol_enabled,
-                                   **_occ_args(scene), mode="nearest")
+        res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3,
+                                        jnp.full(n, BIG, F32), active,
+                                        vol_enabled, **_occ_args(scene),
+                                        mode="nearest", k=_topk(scene))
     else:
         res = dda.traverse(*_vol_args(scene), o3, d3, jnp.full(n, BIG, F32),
                            active, vol_enabled, jnp.int32(skip_lo),
@@ -217,9 +226,10 @@ def is_occluded_world(scene: SceneData, o, d, t_limit, active):
     """Renderer::IsOccluded (renderer.cpp:209-243) — one fused pass."""
     o3 = o if not isinstance(o, tuple) else cstack(o)
     d3 = d if not isinstance(d, tuple) else cstack(d)
-    res = dda_occ.traverse_occ(*_vol_args(scene), o3, d3, t_limit, active,
-                               jnp.ones(scene.volumes.n, bool),
-                               **_occ_args(scene), mode="occluded")
+    res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3, t_limit,
+                                    active, jnp.ones(scene.volumes.n, bool),
+                                    **_occ_args(scene), mode="occluded",
+                                    k=_topk(scene))
     occ = res["hit"]
     occ = occ | spheres_occluded(scene.spheres, o3, d3, t_limit)
     occ = occ | triangles_occluded(scene.triangles, o3, d3, t_limit)
