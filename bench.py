@@ -30,7 +30,8 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from voxtracer.diff.volumetric import grad_fn, params_from_scene
+    from voxtracer.diff.volumetric import (grad_fn, max_aabb_crossings,
+                                           params_from_scene)
     from voxtracer.render.integrator import render_tiled
     from voxtracer.scene.presets import monu_path
 
@@ -59,6 +60,9 @@ def main():
     params = params_from_scene(scene)
     rows = -(-HEIGHT // tiles_bwd)
     target_band = jnp.zeros((rows, WIDTH, 3), jnp.float32)
+    # exact pair-compaction bound for this camera (host slab tests)
+    diff_k = min(max_aabb_crossings(scene, cfg), scene.volumes.n)
+    log(f"diff pair compaction k={diff_k} of V={scene.volumes.n}")
 
     def full_grad(k):
         total = None
@@ -67,7 +71,7 @@ def main():
             # 48 per-volume-interval steps ~= 5x the effective sampling
             # density of the old 96 union-span steps (diff/volumetric.py)
             g = grad_fn(params, scene, cfg, target_band, k, 48,
-                        row0=row0, rows=rows)
+                        row0=row0, rows=rows, k=diff_k)
             np.asarray(g.albedo_table[:1, :1])
             total = g if total is None else jax.tree.map(jnp.add, total, g)
         return total

@@ -105,3 +105,25 @@ def test_hard_renderer_albedo_gradients(teapot_small):
     a2[mi, ci] += eps
     fd = (float(loss(jnp.asarray(a2))) - base) / eps
     assert abs(fd - g[mi, ci]) < 0.05 * max(abs(fd), abs(g[mi, ci]), 1e-6), (fd, g[mi, ci])
+
+
+def test_pair_compaction_exact():
+    """k-compacted march == dense march when k >= max AABB crossings."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voxtracer.diff.volumetric import (max_aabb_crossings, params_from_scene,
+                                           render_diff)
+    from voxtracer.scene.presets import monu_path
+
+    scene, cfg = monu_path(width=64, height=36, gridsize=32, which=(1, 2),
+                           bounces=1)
+    scene = jax.tree.map(jnp.asarray, scene)
+    params = params_from_scene(scene)
+    key = jax.random.PRNGKey(0)
+    kmax = max_aabb_crossings(scene, cfg)
+    assert 1 <= kmax <= scene.volumes.n
+    dense = np.asarray(render_diff(params, scene, cfg, key, 24))
+    comp = np.asarray(render_diff(params, scene, cfg, key, 24, k=kmax))
+    np.testing.assert_allclose(dense, comp, rtol=1e-5, atol=1e-6)

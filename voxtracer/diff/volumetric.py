@@ -106,16 +106,22 @@ def _ray_aabb(cube_min, o, d):
     return t0, tmax, tmax > t0
 
 
-@partial(jax.jit, static_argnames=("n_steps", "cfg", "rows"))
+@partial(jax.jit, static_argnames=("n_steps", "cfg", "rows", "k"))
 def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 192,
-                density_scale: float = 512.0, row0=None, rows: int = 0):
+                density_scale: float = 512.0, row0=None, rows: int = 0,
+                k: int = 0):
     """Primary-visibility differentiable render -> [H, W, 3] (or
     [rows, W, 3] when a row band is given — used to bound memory at 1080p).
 
     Each ray x volume pair marches its own AABB interval with n_steps
     samples; segments composite front-to-back by entry t (exact for
     instance AABBs disjoint along the ray, entry-ordered approximation
-    for overlaps)."""
+    for overlaps).
+
+    k > 0 compacts pairs to the k earliest-entry volumes per ray (march
+    cost — gathers AND gradient scatters — scales with pairs).  EXACT only
+    when no ray crosses more than k instance AABBs; callers verify that on
+    the host (cheap slab tests) and fall back to k=0 (dense)."""
     from voxtracer.render.camera import primary_rays
     from voxtracer.render.integrator import _pixel_grid
 
@@ -172,11 +178,47 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     # by entry t after the march (exact for AABBs disjoint along the ray —
     # overlap interleaving is approximated by entry order).
     valid = jnp.any(hit, axis=0)  # [N]
-    t0p = jnp.where(hit, t0, 0.0)  # [V, N]
-    dt = jnp.where(hit, (t1 - t0) / n_steps, 0.0)  # [V, N]
 
     gs_f = scene.volumes.gridsize.astype(F32)[:, None]  # [V, 1]
     gs_i = scene.volumes.gridsize[:, None]
+
+    if k and k < v:
+        # pair compaction: keep the k earliest-entry volumes per ray
+        key_t = jnp.where(hit & ~jnp.isnan(t0), t0, 1e30)
+        ids = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[:, None], (v, n))
+        key_s, t1_s, hit_s, vid = jax.lax.sort(
+            (key_t, jnp.where(hit, t1, 0.0), hit, ids), dimension=0,
+            num_keys=1)
+        t0 = key_s[:k]
+        t1 = t1_s[:k]
+        hit = hit_s[:k]
+        vid = vid[:k]  # [k, N]
+        # per-pair volume constants (one [V,16] row gather per pair)
+        vtab = jnp.concatenate([
+            inv[:, :3, :].reshape(v, 12), cb,
+            scene.volumes.gridsize.astype(F32)[:, None]], axis=1)
+        rows16 = jnp.take(vtab, vid.reshape(-1), axis=0,
+                          mode="clip").reshape(k, n, 16)
+        iv = [rows16[..., i] for i in range(12)]
+        bx, by, bz = rows16[..., 12], rows16[..., 13], rows16[..., 14]
+        gs_f = rows16[..., 15]
+        gs_i = gs_f.astype(jnp.int32)
+        ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+        dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+        vox = iv[0] * ox + iv[1] * oy + iv[2] * oz + iv[3]
+        voy = iv[4] * ox + iv[5] * oy + iv[6] * oz + iv[7]
+        voz = iv[8] * ox + iv[9] * oy + iv[10] * oz + iv[11]
+        vdx = iv[0] * dx + iv[1] * dy + iv[2] * dz
+        vdy = iv[4] * dx + iv[5] * dy + iv[6] * dz
+        vdz = iv[8] * dx + iv[9] * dy + iv[10] * dz
+        vbase = vid * (g * g * g)
+        v_eff = k
+    else:
+        vbase = (jnp.arange(v, dtype=jnp.int32) * g * g * g)[:, None]
+        v_eff = v
+
+    t0p = jnp.where(hit, t0, 0.0)  # [v_eff, N]
+    dt = jnp.where(hit, (t1 - t0) / n_steps, 0.0)  # [v_eff, N]
     dens_flat = (jax.nn.softplus(params.density_logits).reshape(-1)
                  * density_scale)  # [V * G^3]
     # fuse per-cell fetches into ONE 2-D row gather: a [T, 2] row costs
@@ -186,13 +228,12 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     # and the material column's cotangent is discarded by the slice.
     cell_tab = jax.lax.stop_gradient(jnp.stack(
         [dens_flat, scene.volumes.grids.reshape(-1).astype(F32)], axis=1))
-    vol_base = (jnp.arange(v, dtype=jnp.int32) * g * g * g)[:, None]
     # albedo as one [256, 3] row gather instead of 3 channel takes
     alb_tab = params.albedo_table  # [256, 3]
 
-    def step(carry, k):
+    def step(carry, ki):
         trans, cr, cg_, cb_ = carry  # all [V, N]
-        t_mid = t0p + (k + 0.5) * dt  # [V, N]
+        t_mid = t0p + (ki + 0.5) * dt  # [V, N]
         lx = (vox + t_mid * vdx - bx) * gs_f
         ly = (voy + t_mid * vdy - by) * gs_f
         lz = (voz + t_mid * vdz - bz) * gs_f
@@ -201,21 +242,21 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
         iz = jnp.clip(lz.astype(jnp.int32), 0, gs_i - 1)
         inside = ((lx >= 0.0) & (lx < gs_f) & (ly >= 0.0) & (ly < gs_f)
                   & (lz >= 0.0) & (lz < gs_f))
-        flat = (ix * g + iy) * g + iz + vol_base
+        flat = (ix * g + iy) * g + iz + vbase
         cells = _cell_fetch(dens_flat, cell_tab, flat.reshape(-1))
-        s = jnp.where(inside, cells[:, 0].reshape(v, n), 0.0)
-        m = cells[:, 1].reshape(v, n).astype(jnp.int32)  # [V, N]
+        s = jnp.where(inside, cells[:, 0].reshape(v_eff, n), 0.0)
+        m = cells[:, 1].reshape(v_eff, n).astype(jnp.int32)
         alb = _rows(alb_tab, m.reshape(-1))
         alpha = 1.0 - jnp.exp(-s * dt)  # [V, N]
         wgt = trans * alpha
-        cr = cr + wgt * alb[:, 0].reshape(v, n)
-        cg_ = cg_ + wgt * alb[:, 1].reshape(v, n)
-        cb_ = cb_ + wgt * alb[:, 2].reshape(v, n)
+        cr = cr + wgt * alb[:, 0].reshape(v_eff, n)
+        cg_ = cg_ + wgt * alb[:, 1].reshape(v_eff, n)
+        cb_ = cb_ + wgt * alb[:, 2].reshape(v_eff, n)
         trans = trans * (1.0 - alpha)
         return (trans, cr, cg_, cb_), None
 
-    init = (jnp.ones((v, n), F32), jnp.zeros((v, n), F32),
-            jnp.zeros((v, n), F32), jnp.zeros((v, n), F32))
+    init = (jnp.ones((v_eff, n), F32), jnp.zeros((v_eff, n), F32),
+            jnp.zeros((v_eff, n), F32), jnp.zeros((v_eff, n), F32))
     (trans, cr, cg_, cb_), _ = jax.lax.scan(
         jax.checkpoint(step), init, jnp.arange(n_steps, dtype=F32))
 
@@ -223,11 +264,11 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     # prefix transmittance of segment v is the product over segments that
     # start strictly earlier, index-ordered on ties)
     order = t0p + jnp.where(hit, 0.0, 1e30)
-    idx_v = jnp.arange(v)[:, None]
+    idx_v = jnp.arange(v_eff)[:, None]
     out_r = jnp.zeros(n, F32)
     out_g = jnp.zeros(n, F32)
     out_b = jnp.zeros(n, F32)
-    for vi in range(v):
+    for vi in range(v_eff):
         before = ((order[vi] > order)
                   | ((order[vi] == order) & (vi > idx_v)))  # [V, N]
         pf = jnp.prod(jnp.where(before, trans, 1.0), axis=0)  # [N]
@@ -244,9 +285,43 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
 
 
 def mse_loss(params: DiffParams, scene: SceneData, cfg, target, key,
-             n_steps: int = 192, row0=None, rows: int = 0):
-    img = render_diff(params, scene, cfg, key, n_steps, row0=row0, rows=rows)
+             n_steps: int = 192, row0=None, rows: int = 0, k: int = 0):
+    img = render_diff(params, scene, cfg, key, n_steps, row0=row0, rows=rows,
+                      k=k)
     return jnp.mean((img - target) ** 2)
 
 
-grad_fn = jax.jit(jax.grad(mse_loss), static_argnames=("cfg", "n_steps", "rows"))
+grad_fn = jax.jit(jax.grad(mse_loss),
+                  static_argnames=("cfg", "n_steps", "rows", "k"))
+
+
+def max_aabb_crossings(scene: SceneData, cfg, row0: int = 0,
+                       rows: int = 0) -> int:
+    """HOST-side: the maximum number of instance AABBs any primary ray of
+    this camera/band crosses — the smallest exact `k` for render_diff's
+    pair compaction (cheap NumPy slab tests, no device work)."""
+    import numpy as np
+
+    from voxtracer.render.camera import primary_rays
+
+    h = rows or cfg.height
+    x = np.arange(cfg.width, dtype=np.float32)
+    y = np.arange(h, dtype=np.float32) + row0
+    px, py = np.meshgrid(x, y)
+    cam = jax.tree.map(np.asarray, scene.camera)
+    o, d = primary_rays(cam, cfg.width, cfg.height, px.reshape(-1),
+                        py.reshape(-1), None, np)
+    inv = np.asarray(scene.volumes.inv)
+    cb = np.asarray(scene.volumes.cube_min)
+    count = np.zeros(o.shape[0], np.int32)
+    for i in range(inv.shape[0]):
+        oo = o @ inv[i, :3, :3].T + inv[i, :3, 3]
+        dd = d @ inv[i, :3, :3].T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rd = 1.0 / dd
+            a = (cb[i] - oo) * rd
+            b = (cb[i] + 1.0 - oo) * rd
+        t0 = np.maximum(np.nanmax(np.minimum(a, b), axis=1), 0.0)
+        t1 = np.nanmin(np.maximum(a, b), axis=1)
+        count += (t1 > t0).astype(np.int32)
+    return int(count.max())

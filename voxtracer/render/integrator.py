@@ -383,27 +383,73 @@ def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key):
     u = jax.random.uniform(jax.random.fold_in(key, 7), (nrays,), F32)
     idx = jnp.minimum((u * total).astype(jnp.int32), total - 1)
     acc = zero
-    if n_p:
-        sel = idx < n_p
-        c = _light_contribution(scene, cfg, p, nrm, alb, "point",
-                                jnp.clip(idx, 0, n_p - 1), active & sel, key)
-        acc = cwhere(sel, cadd(acc, c), acc)
+
+    # area lights keep their own N-shadow-sample pass (renderer.cpp:161-207)
     if n_a:
         sel = (idx >= n_p) & (idx < n_p + n_a)
         c = _area_contribution(scene, cfg, p, nrm, alb,
                                jnp.clip(idx - n_p, 0, n_a - 1),
                                active & sel, jax.random.fold_in(key, 11))
         acc = cwhere(sel, cadd(acc, c), acc)
+
+    # point / spot / directional fuse into ONE shadow traversal: each ray
+    # sampled a single light, so its (direction, t_limit, intensity) are
+    # selected per ray and one occlusion pass serves all three types —
+    # the v1 design paid a full lockstep traversal PER TYPE.
+    dirn = tuple(jnp.zeros(nrays, F32) for _ in range(3))
+    intensity = zero
+    shadow_t = jnp.full(nrays, BIG, F32)
+    gate = jnp.zeros(nrays, bool)
+
+    if n_p:
+        sel = idx < n_p
+        i_p = jnp.clip(idx, 0, n_p - 1)
+        lpos = cpack(jnp.take(L.point_pos, i_p, axis=0))
+        lcol = cpack(jnp.take(L.point_color, i_p, axis=0))
+        to_l = csub(lpos, p)
+        dst = jnp.sqrt(cdot(to_l, to_l))
+        d_p = cscale(1.0 / dst, to_l)
+        cos_t = cdot(d_p, nrm)
+        dirn = cwhere(sel, d_p, dirn)
+        intensity = cwhere(sel, cscale(cos_t / (dst * dst), lcol), intensity)
+        shadow_t = jnp.where(sel, dst, shadow_t)
+        gate = jnp.where(sel, cos_t > 0.0, gate)
     if n_s:
         sel = (idx >= n_p + n_a) & (idx < n_p + n_a + n_s)
-        c = _light_contribution(scene, cfg, p, nrm, alb, "spot",
-                                jnp.clip(idx - n_p - n_a, 0, n_s - 1),
-                                active & sel, key)
-        acc = cwhere(sel, cadd(acc, c), acc)
-    sel = idx >= n_p + n_a + n_s
-    c = _light_contribution(scene, cfg, p, nrm, alb, "dir",
-                            jnp.zeros(nrays, jnp.int32), active & sel, key)
-    acc = cwhere(sel, cadd(acc, c), acc)
+        i_s = jnp.clip(idx - n_p - n_a, 0, n_s - 1)
+        lpos = cpack(jnp.take(L.spot_pos, i_s, axis=0))
+        ldir = cpack(jnp.take(L.spot_dir, i_s, axis=0))
+        lcol = cpack(jnp.take(L.spot_color, i_s, axis=0))
+        lcos = jnp.take(L.spot_cos_angle, i_s, axis=0)
+        to_l = csub(lpos, p)
+        dst = jnp.sqrt(cdot(to_l, to_l))
+        d_s = cscale(1.0 / dst, to_l)
+        cos_t = cdot(d_s, ldir)
+        alpha = 1.0 - (1.0 - cos_t) / (1.0 - lcos)
+        dirn = cwhere(sel, d_s, dirn)
+        intensity = cwhere(sel, cscale(cos_t / (dst * dst) * alpha, lcol),
+                           intensity)
+        shadow_t = jnp.where(sel, dst, shadow_t)
+        gate = jnp.where(sel, cos_t > lcos, gate)
+    sel_d = idx >= n_p + n_a + n_s
+    d_d = tuple(jnp.broadcast_to(-L.dir_direction[i], (nrays,))
+                for i in range(3))
+    cos_d = cdot(d_d, nrm)
+    dirn = cwhere(sel_d, d_d, dirn)
+    intensity = cwhere(sel_d, cscale(cos_d, tuple(L.dir_color[i]
+                                                  for i in range(3))),
+                       intensity)
+    shadow_t = jnp.where(sel_d, BIG, shadow_t)
+    # a black directional light (the reference default) contributes zero
+    # whatever the occlusion says — don't burn infinite shadow rays on it
+    dir_on = jnp.any(L.dir_color != 0.0)
+    gate = jnp.where(sel_d, (cos_d > 0.0) & dir_on, gate)
+
+    origin = coffset(p, nrm)
+    need = active & gate
+    occ = is_occluded_world(scene, origin, dirn, shadow_t, need)
+    lit = need & ~occ
+    acc = cwhere(lit, cadd(acc, cmul(intensity, alb)), acc)
     return cscale(float(total), acc)
 
 
@@ -439,10 +485,16 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key):
         rad = cwhere(miss, cadd(st["rad"], cmul(st["tp"], sky)), st["rad"])
         active = active & ~miss
 
-        alb = _albedo_c(scene, mat)
-        rough = jnp.take(scene.materials.roughness, mat)
-        emis = jnp.take(scene.materials.emissive, mat)
-        ior = jnp.take(scene.materials.ior, mat)
+        # one [256, 6] row gather for all material properties (2.6 ns vs
+        # 4 separate takes at 7.2 ns each, PERF_NOTES.md)
+        mtab = jnp.concatenate(
+            [scene.materials.albedo,
+             scene.materials.roughness[:, None],
+             scene.materials.emissive[:, None],
+             scene.materials.ior[:, None]], axis=1)
+        mrow = jnp.take(mtab, mat, axis=0, mode="clip")
+        alb = (mrow[:, 0], mrow[:, 1], mrow[:, 2])
+        rough, emis, ior = mrow[:, 3], mrow[:, 4], mrow[:, 5]
 
         is_metal = (mat >= METAL_HIGH) & (mat <= METAL_LOW)
         is_nonmetal = mat < METAL_HIGH
