@@ -34,3 +34,14 @@ class RenderConfig:
     # no dielectrics should disable it (the branches would be dead code the
     # compiler still pays for).
     whitted_glass_split: bool = True
+    # path mode wavefront compaction: between bounces, partition surviving
+    # rays to a prefix (stable cumsum partition) and trace fixed-width
+    # chunks of n // compact_chunks in a nested while_loop — terminated
+    # rays stop paying lockstep traversal cost (survival at 1080p monu is
+    # 100/61/28/21/18% per bounce, scripts/probe_active.py).  Only applied
+    # when the ray batch is >= compact_min and divisible by compact_chunks;
+    # sharded multi-device renders should keep compact_min above their
+    # per-render ray count (the partition would otherwise emit cross-device
+    # collectives).
+    compact_chunks: int = 4
+    compact_min: int = 65536

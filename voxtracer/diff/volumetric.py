@@ -33,6 +33,11 @@ from voxtracer.render.sky import sample_sky
 
 F32 = jnp.float32
 
+# rematerialize the march in backward: ~2x HBM savings for ~1 extra forward
+# of compute.  At bench band sizes the stored-activation variant fits HBM;
+# toggled off there (scripts/bench_bwd.py measures the tradeoff).
+_REMAT = True
+
 
 @struct.dataclass
 class DiffParams:
@@ -257,8 +262,9 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
 
     init = (jnp.ones((v_eff, n), F32), jnp.zeros((v_eff, n), F32),
             jnp.zeros((v_eff, n), F32), jnp.zeros((v_eff, n), F32))
+    step_fn = jax.checkpoint(step) if _REMAT else step
     (trans, cr, cg_, cb_), _ = jax.lax.scan(
-        jax.checkpoint(step), init, jnp.arange(n_steps, dtype=F32))
+        step_fn, init, jnp.arange(n_steps, dtype=F32))
 
     # composite per-pair segments front-to-back by entry t (no sort: the
     # prefix transmittance of segment v is the product over segments that

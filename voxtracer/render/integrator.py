@@ -457,6 +457,144 @@ def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key):
 # Path integrator (wavefront, SoA) — renderer.cpp:1076-1328 flattened
 # --------------------------------------------------------------------------
 
+def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
+    """ONE wavefront bounce (renderer.cpp:1076-1328 flattened): nearest
+    traversal, material-lobe shading, NEE, continuation.  Inactive lanes
+    pass through unchanged — the chunked compaction driver relies on that."""
+    n = st["o"][0].shape[0]
+    one3 = (jnp.ones(n, F32),) * 3
+    o, d, active = st["o"], st["d"], st["active"]
+    rec = find_nearest_world(scene, o, d, active)
+    t, mat, vol = rec["t"], rec["mat"], rec["vol"]
+    nrm = (rec["nx"], rec["ny"], rec["nz"])
+    in_glass = jnp.where(rec["prim_adopt"], rec["prim_inside"],
+                         st["in_glass"])
+
+    # miss -> sky, terminate (renderer.cpp:1092-1095)
+    miss = active & (mat == MAT_NONE)
+    sky = _sky_c(scene, cfg, d)
+    rad = cwhere(miss, cadd(st["rad"], cmul(st["tp"], sky)), st["rad"])
+    active = active & ~miss
+
+    # one [256, 6] row gather for all material properties (2.6 ns vs
+    # 4 separate takes at 7.2 ns each, PERF_NOTES.md)
+    mtab = jnp.concatenate(
+        [scene.materials.albedo,
+         scene.materials.roughness[:, None],
+         scene.materials.emissive[:, None],
+         scene.materials.ior[:, None]], axis=1)
+    mrow = jnp.take(mtab, mat, axis=0, mode="clip")
+    alb = (mrow[:, 0], mrow[:, 1], mrow[:, 2])
+    rough, emis, ior = mrow[:, 3], mrow[:, 4], mrow[:, 5]
+
+    is_metal = (mat >= METAL_HIGH) & (mat <= METAL_LOW)
+    is_nonmetal = mat < METAL_HIGH
+    is_glass_m = mat == GLASS
+    is_smoke = (mat >= SMOKE_LOW_DENSITY) & (mat <= SMOKE_PLAYER)
+    is_emissive = mat == EMISSIVE
+    is_model = (mat > EMISSIVE) & (mat != MAT_NONE)
+
+    # ---- emissive: terminal (renderer.cpp:1315-1316)
+    emis_mask = active & is_emissive
+    rad = cwhere(emis_mask,
+                 cadd(rad, cmul(st["tp"], cscale(emis, alb))), rad)
+
+    # ---- dielectric / smoke medium march (glass & smoke share it)
+    march = active & in_glass & (is_glass_m | is_smoke) & (vol >= 0)
+    mode_code = jnp.where(is_glass_m, dda.EXIT_GLASS, dda.EXIT_SMOKE)
+    in_vol, t_exit, nrm_exit = material_exit_world(
+        scene, o, d, vol, mode_code, march)
+    t = jnp.where(march, t_exit, t)
+    nrm = cwhere(march & in_vol, nrm_exit, nrm)
+    # fell off the grid: move origin to boundary, t=0 (renderer.cpp:1175-1179)
+    fell = march & ~in_vol
+    o = cwhere(fell, cadd(o, cscale(t, d)), o)
+    t = jnp.where(fell, 0.0, t)
+    p_hit = cadd(o, cscale(t, d))
+
+    # ---- NEE for diffuse-ish lobes
+    u_lobe = jax.random.uniform(jax.random.fold_in(bkey, 1), (n,), F32)
+    cos_in = jnp.clip(cdot(cneg(d), nrm), a_max=1.0)
+    go_diffuse = u_lobe > mathx.schlick_nonmetal(cos_in)
+    nee_mask = active & ((is_nonmetal & go_diffuse) | is_model)
+    inc = illumination(scene, cfg, p_hit, nrm, mat, nee_mask,
+                       jax.random.fold_in(bkey, 2))
+    # nonmetal: rad += T * inc ; model: rad += T * alb * inc
+    rad = cwhere(nee_mask & is_nonmetal, cadd(rad, cmul(st["tp"], inc)), rad)
+    rad = cwhere(nee_mask & is_model,
+                 cadd(rad, cmul(st["tp"], cmul(alb, inc))), rad)
+
+    # ---- continuation directions per lobe
+    u_sph = jax.random.uniform(jax.random.fold_in(bkey, 3), (3, n), F32)
+    g_hemi = jax.random.normal(jax.random.fold_in(bkey, 4), (3, n), F32)
+    refl = creflect(d, nrm)
+    sph = csphere_sample(u_sph[0], u_sph[1], u_sph[2])
+    spec_dir = cadd(refl, cscale(rough, sph))
+    diff_dir = cadd(nrm, sph)  # RandomLambertianReflectionVector
+    model_dir = chemisphere_dir(nrm, (g_hemi[0], g_hemi[1], g_hemi[2]))
+
+    # glass: Fresnel reflect-or-refract (renderer.cpp:1181-1208)
+    ratio = jnp.where(in_glass, ior, 1.0 / ior)
+    cos_g = jnp.minimum(cdot(cneg(d), nrm), 1.0)
+    sin_g = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_g * cos_g))
+    cannot_refract = ratio * sin_g > 1.0
+    u_f = jax.random.uniform(jax.random.fold_in(bkey, 5), (n,), F32)
+    do_reflect = cannot_refract | (mathx.schlick(cos_g, ratio, jnp) > u_f)
+    refr_dir = crefract(d, nrm, ratio)
+    glass_dir = cwhere(do_reflect, refl, refr_dir)
+    glass_norm = cwhere(do_reflect, nrm, cneg(nrm))
+    glass_flip = active & is_glass_m & ~do_reflect
+
+    # smoke: stochastic in-scatter (renderer.cpp:1282-1289), then the
+    # unconditional ratio-1 "refraction" pass-through
+    intensity = jnp.where(in_glass & is_smoke, emis, 0.0)
+    dist = jnp.where(march, t, 0.0)
+    u_s = jax.random.uniform(jax.random.fold_in(bkey, 6), (2, n), F32)
+    g_oct = jax.random.normal(jax.random.fold_in(bkey, 8), (3, n), F32)
+    thresh = u_s[0] * 100.0 - intensity
+    scatter = active & is_smoke & (u_s[1] * dist > thresh)
+    scat_t = t * 0.45 + u_s[0] * (t - t * 0.45)  # Rand(t*.45, t)
+    o = cwhere(scatter, cadd(o, cscale(scat_t, d)), o)
+    d = cwhere(scatter, coctant_dir((g_oct[0], g_oct[1], g_oct[2])), d)
+    t = jnp.where(scatter, 0.0, t)
+    p_hit = cadd(o, cscale(t, d))
+    # Absorption REPLACES the color (renderer.cpp:1290, 1596-1608)
+    smoke_trans = tuple(
+        jnp.exp(-dist * intensity * (1.0 - alb[i])) for i in range(3))
+    # the ratio-1 refract leaves direction unchanged: continuation is d.
+
+    # ---- select continuation
+    new_d = cwhere(is_metal, spec_dir, d)
+    new_d = cwhere(is_nonmetal & go_diffuse, diff_dir, new_d)
+    new_d = cwhere(is_nonmetal & ~go_diffuse, spec_dir, new_d)
+    new_d = cwhere(is_glass_m, glass_dir, new_d)
+    new_d = cwhere(is_model, model_dir, new_d)
+    new_d = cunit(new_d)
+
+    off_n = nrm
+    off_n = cwhere(is_glass_m, glass_norm, off_n)
+    off_n = cwhere(is_smoke, cneg(nrm), off_n)
+    new_o = coffset(p_hit, off_n)
+
+    # ---- throughput updates
+    tp = st["tp"]
+    tp = cwhere(active & (is_metal | (is_nonmetal & go_diffuse) | is_model),
+                cmul(tp, alb), tp)
+    glass_color = cwhere(in_glass, alb, one3)
+    tp = cwhere(active & is_glass_m, cmul(st["tp"], glass_color), tp)
+    tp = cwhere(active & is_smoke, cmul(st["tp"], smoke_trans), tp)
+
+    new_in_glass = jnp.where(glass_flip | (active & is_smoke),
+                             ~in_glass, in_glass)
+    new_active = active & ~is_emissive
+
+    return dict(
+        o=cwhere(new_active, new_o, o),
+        d=cwhere(new_active, new_d, d),
+        tp=tp, rad=rad, in_glass=new_in_glass, active=new_active,
+    )
+
+
 def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key):
     """Full stochastic light transport; o, d: [N, 3].  Returns [N, 3]."""
     n = o.shape[0]
@@ -469,140 +607,15 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key):
         active=jnp.ones(n, bool),
     )
 
+    if (cfg.compact_chunks > 1 and n >= cfg.compact_min
+            and n % cfg.compact_chunks == 0):
+        return _trace_path_compacted(scene, cfg, state, key, n,
+                                     cfg.compact_chunks)
+
     def bounce(carry):
         st, depth = carry
-        bkey = jax.random.fold_in(key, depth)
-        o, d, active = st["o"], st["d"], st["active"]
-        rec = find_nearest_world(scene, o, d, active)
-        t, mat, vol = rec["t"], rec["mat"], rec["vol"]
-        nrm = (rec["nx"], rec["ny"], rec["nz"])
-        in_glass = jnp.where(rec["prim_adopt"], rec["prim_inside"],
-                             st["in_glass"])
-
-        # miss -> sky, terminate (renderer.cpp:1092-1095)
-        miss = active & (mat == MAT_NONE)
-        sky = _sky_c(scene, cfg, d)
-        rad = cwhere(miss, cadd(st["rad"], cmul(st["tp"], sky)), st["rad"])
-        active = active & ~miss
-
-        # one [256, 6] row gather for all material properties (2.6 ns vs
-        # 4 separate takes at 7.2 ns each, PERF_NOTES.md)
-        mtab = jnp.concatenate(
-            [scene.materials.albedo,
-             scene.materials.roughness[:, None],
-             scene.materials.emissive[:, None],
-             scene.materials.ior[:, None]], axis=1)
-        mrow = jnp.take(mtab, mat, axis=0, mode="clip")
-        alb = (mrow[:, 0], mrow[:, 1], mrow[:, 2])
-        rough, emis, ior = mrow[:, 3], mrow[:, 4], mrow[:, 5]
-
-        is_metal = (mat >= METAL_HIGH) & (mat <= METAL_LOW)
-        is_nonmetal = mat < METAL_HIGH
-        is_glass_m = mat == GLASS
-        is_smoke = (mat >= SMOKE_LOW_DENSITY) & (mat <= SMOKE_PLAYER)
-        is_emissive = mat == EMISSIVE
-        is_model = (mat > EMISSIVE) & (mat != MAT_NONE)
-
-        # ---- emissive: terminal (renderer.cpp:1315-1316)
-        emis_mask = active & is_emissive
-        rad = cwhere(emis_mask,
-                     cadd(rad, cmul(st["tp"], cscale(emis, alb))), rad)
-
-        # ---- dielectric / smoke medium march (glass & smoke share it)
-        march = active & in_glass & (is_glass_m | is_smoke) & (vol >= 0)
-        mode_code = jnp.where(is_glass_m, dda.EXIT_GLASS, dda.EXIT_SMOKE)
-        in_vol, t_exit, nrm_exit = material_exit_world(
-            scene, o, d, vol, mode_code, march)
-        t = jnp.where(march, t_exit, t)
-        nrm = cwhere(march & in_vol, nrm_exit, nrm)
-        # fell off the grid: move origin to boundary, t=0 (renderer.cpp:1175-1179)
-        fell = march & ~in_vol
-        o = cwhere(fell, cadd(o, cscale(t, d)), o)
-        t = jnp.where(fell, 0.0, t)
-        p_hit = cadd(o, cscale(t, d))
-
-        # ---- NEE for diffuse-ish lobes
-        u_lobe = jax.random.uniform(jax.random.fold_in(bkey, 1), (n,), F32)
-        cos_in = jnp.clip(cdot(cneg(d), nrm), a_max=1.0)
-        go_diffuse = u_lobe > mathx.schlick_nonmetal(cos_in)
-        nee_mask = active & ((is_nonmetal & go_diffuse) | is_model)
-        inc = illumination(scene, cfg, p_hit, nrm, mat, nee_mask,
-                           jax.random.fold_in(bkey, 2))
-        # nonmetal: rad += T * inc ; model: rad += T * alb * inc
-        rad = cwhere(nee_mask & is_nonmetal, cadd(rad, cmul(st["tp"], inc)), rad)
-        rad = cwhere(nee_mask & is_model,
-                     cadd(rad, cmul(st["tp"], cmul(alb, inc))), rad)
-
-        # ---- continuation directions per lobe
-        u_sph = jax.random.uniform(jax.random.fold_in(bkey, 3), (3, n), F32)
-        g_hemi = jax.random.normal(jax.random.fold_in(bkey, 4), (3, n), F32)
-        refl = creflect(d, nrm)
-        sph = csphere_sample(u_sph[0], u_sph[1], u_sph[2])
-        spec_dir = cadd(refl, cscale(rough, sph))
-        diff_dir = cadd(nrm, sph)  # RandomLambertianReflectionVector
-        model_dir = chemisphere_dir(nrm, (g_hemi[0], g_hemi[1], g_hemi[2]))
-
-        # glass: Fresnel reflect-or-refract (renderer.cpp:1181-1208)
-        ratio = jnp.where(in_glass, ior, 1.0 / ior)
-        cos_g = jnp.minimum(cdot(cneg(d), nrm), 1.0)
-        sin_g = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_g * cos_g))
-        cannot_refract = ratio * sin_g > 1.0
-        u_f = jax.random.uniform(jax.random.fold_in(bkey, 5), (n,), F32)
-        do_reflect = cannot_refract | (mathx.schlick(cos_g, ratio, jnp) > u_f)
-        refr_dir = crefract(d, nrm, ratio)
-        glass_dir = cwhere(do_reflect, refl, refr_dir)
-        glass_norm = cwhere(do_reflect, nrm, cneg(nrm))
-        glass_flip = active & is_glass_m & ~do_reflect
-
-        # smoke: stochastic in-scatter (renderer.cpp:1282-1289), then the
-        # unconditional ratio-1 "refraction" pass-through
-        intensity = jnp.where(in_glass & is_smoke, emis, 0.0)
-        dist = jnp.where(march, t, 0.0)
-        u_s = jax.random.uniform(jax.random.fold_in(bkey, 6), (2, n), F32)
-        g_oct = jax.random.normal(jax.random.fold_in(bkey, 8), (3, n), F32)
-        thresh = u_s[0] * 100.0 - intensity
-        scatter = active & is_smoke & (u_s[1] * dist > thresh)
-        scat_t = t * 0.45 + u_s[0] * (t - t * 0.45)  # Rand(t*.45, t)
-        o = cwhere(scatter, cadd(o, cscale(scat_t, d)), o)
-        d = cwhere(scatter, coctant_dir((g_oct[0], g_oct[1], g_oct[2])), d)
-        t = jnp.where(scatter, 0.0, t)
-        p_hit = cadd(o, cscale(t, d))
-        # Absorption REPLACES the color (renderer.cpp:1290, 1596-1608)
-        smoke_trans = tuple(
-            jnp.exp(-dist * intensity * (1.0 - alb[i])) for i in range(3))
-        # the ratio-1 refract leaves direction unchanged: continuation is d.
-
-        # ---- select continuation
-        new_d = cwhere(is_metal, spec_dir, d)
-        new_d = cwhere(is_nonmetal & go_diffuse, diff_dir, new_d)
-        new_d = cwhere(is_nonmetal & ~go_diffuse, spec_dir, new_d)
-        new_d = cwhere(is_glass_m, glass_dir, new_d)
-        new_d = cwhere(is_model, model_dir, new_d)
-        new_d = cunit(new_d)
-
-        off_n = nrm
-        off_n = cwhere(is_glass_m, glass_norm, off_n)
-        off_n = cwhere(is_smoke, cneg(nrm), off_n)
-        new_o = coffset(p_hit, off_n)
-
-        # ---- throughput updates
-        tp = st["tp"]
-        tp = cwhere(active & (is_metal | (is_nonmetal & go_diffuse) | is_model),
-                    cmul(tp, alb), tp)
-        glass_color = cwhere(in_glass, alb, one3)
-        tp = cwhere(active & is_glass_m, cmul(st["tp"], glass_color), tp)
-        tp = cwhere(active & is_smoke, cmul(st["tp"], smoke_trans), tp)
-
-        new_in_glass = jnp.where(glass_flip | (active & is_smoke),
-                                 ~in_glass, in_glass)
-        new_active = active & ~is_emissive
-
-        st = dict(
-            o=cwhere(new_active, new_o, o),
-            d=cwhere(new_active, new_d, d),
-            tp=tp, rad=rad, in_glass=new_in_glass, active=new_active,
-        )
-        return st, depth + 1
+        return (_bounce_core(scene, cfg, st, jax.random.fold_in(key, depth)),
+                depth + 1)
 
     # depth loop with early exit (Trace depth semantics: maxBounces+1
     # segments, renderer.cpp:1076-1083)
@@ -612,6 +625,75 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key):
 
     st, _ = jax.lax.while_loop(cond, bounce, (state, jnp.int32(0)))
     return cstack(st["rad"])
+
+
+def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
+                          n: int, chunks: int):
+    """Chunked-wavefront bounce loop: lockstep traversal cost is width x
+    iterations whether lanes are alive or not, so each bounce first
+    partitions surviving rays to a prefix (stable cumsum partition — no
+    sort network), then traces fixed-width chunks of n/chunks in a nested
+    while_loop that stops at the last live chunk.  At 1080p monu survival
+    is 100/61/28/21/18% per bounce (scripts/probe_active.py), so bounces
+    2+ run at 1-2 chunks instead of `chunks`.
+
+    State rides in ONE packed [n, 15] f32 matrix so the per-bounce
+    permutation is a single 2-D row gather (~2.6 ns/row vs 15 separate 1-D
+    takes at 7.2 ns each, PERF_NOTES.md): columns 0-2 o, 3-5 d, 6-8
+    throughput, 9-11 radiance, 12 in_glass, 13 active, 14 original ray id
+    (f32-exact for n < 2^24)."""
+    ch = n // chunks
+
+    def pack(st, pix):
+        cols = (list(st["o"]) + list(st["d"]) + list(st["tp"])
+                + list(st["rad"])
+                + [st["in_glass"].astype(F32), st["active"].astype(F32), pix])
+        return jnp.stack(cols, axis=1)
+
+    def unpack(pk):
+        return dict(
+            o=(pk[:, 0], pk[:, 1], pk[:, 2]),
+            d=(pk[:, 3], pk[:, 4], pk[:, 5]),
+            tp=(pk[:, 6], pk[:, 7], pk[:, 8]),
+            rad=(pk[:, 9], pk[:, 10], pk[:, 11]),
+            in_glass=pk[:, 12] > 0.5, active=pk[:, 13] > 0.5,
+        ), pk[:, 14]
+
+    packed0 = pack(state, jnp.arange(n, dtype=F32))
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def outer(carry):
+        pk, depth = carry
+        acti = (pk[:, 13] > 0.5).astype(jnp.int32)
+        c = jnp.sum(acti)
+        pos_live = jnp.cumsum(acti) - 1
+        pos_dead = c + jnp.cumsum(1 - acti) - 1
+        dest = jnp.where(acti == 1, pos_live, pos_dead)  # old -> new, stable
+        perm = jnp.zeros(n, jnp.int32).at[dest].set(iota)
+        pk = jnp.take(pk, perm, axis=0)
+        bkey = jax.random.fold_in(key, depth)
+
+        def chunk_cond(cc):
+            return cc[0] * ch < c
+
+        def chunk_body(cc):
+            j, pk = cc
+            sub = jax.lax.dynamic_slice_in_dim(pk, j * ch, ch, axis=0)
+            st, pix = unpack(sub)
+            st = _bounce_core(scene, cfg, st, jax.random.fold_in(bkey, j))
+            return j + 1, jax.lax.dynamic_update_slice_in_dim(
+                pk, pack(st, pix), j * ch, axis=0)
+
+        _, pk = jax.lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), pk))
+        return pk, depth + 1
+
+    def cond(carry):
+        pk, depth = carry
+        return (depth < cfg.max_bounces + 1) & jnp.any(pk[:, 13] > 0.5)
+
+    pk, _ = jax.lax.while_loop(cond, outer, (packed0, jnp.int32(0)))
+    pix = pk[:, 14].astype(jnp.int32)
+    return jnp.zeros((n, 3), F32).at[pix].set(pk[:, 9:12])
 
 
 # --------------------------------------------------------------------------
