@@ -27,6 +27,20 @@ def log(*a):
 
 def main():
     import jax
+
+    # Persistent XLA compilation cache: the 1080p programs take minutes to
+    # compile through the tunnel; warmed once, every later bench run (and
+    # the driver's) loads the executables from disk in seconds.
+    cache_dir = os.environ.get("JAX_CACHE_DIR",
+                               os.path.join(os.path.dirname(
+                                   os.path.abspath(__file__)), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # older jax: cache is an optimization, not a need
+        log("compilation cache unavailable:", e)
+
     import jax.numpy as jnp
     import numpy as np
 
