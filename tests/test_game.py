@@ -108,3 +108,64 @@ def test_game_light_kill_reverts(assets_dir):
     assert game.state.static_camera
     # player returned to checkpoint (the initial snapshot)
     np.testing.assert_allclose(game.volumes[0].position, start_pos, atol=1e-5)
+
+
+def test_light_kill_from_render(assets_dir):
+    """Rendering a brightly lit player-smoke volume flips the in_light aux
+    (renderer.cpp:1437-1450); a dark scene doesn't.  The flag then drives
+    the checkpoint revert through Game.tick (renderer.cpp:2112-2118)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxtracer.config import RenderConfig
+    from voxtracer.core.types import SMOKE_PLAYER
+    from voxtracer.render.integrator import render_game_frame
+    from voxtracer.scene.instances import VolumeSpec, build_volumes
+    from voxtracer.scene.lights import make_lights
+    from voxtracer.scene.materials import default_materials
+    from voxtracer.scene.presets import _assemble
+    from voxtracer.scene.volume import solid_grid
+
+    vols = build_volumes([VolumeSpec(position=(0, 0, 0), gridsize=4,
+                                     grid=solid_grid(4, SMOKE_PLAYER))])
+    cfg = RenderConfig(width=16, height=16, mode="path", max_bounces=2,
+                       detect_light_kill=True, activate_sky=False,
+                       compact_chunks=1)
+    key = jax.random.PRNGKey(0)
+    # player smoke gets a nonzero albedo in the game via the .vox palette
+    # mutation rule (scene.cpp:516-520) — replicate it here; the default
+    # SMOKE_PLAYER albedo is black (smoke5, renderer.cpp MaterialSetUp)
+    mats = default_materials()
+    alb = np.array(mats.albedo)
+    alb[SMOKE_PLAYER] = (1.0, 0.7, 1.0)
+    mats = mats.replace(albedo=alb)
+
+    def run(color):
+        lights = make_lights(point=((0.0, 0.0, -1.2) + color,))
+        scene = jax.tree.map(jnp.asarray,
+                             _assemble(vols, mats, lights=lights))
+        _, lit = render_game_frame(scene, cfg, key, 1)
+        return bool(lit)
+
+    assert run((500.0, 500.0, 500.0))       # lit player -> kill flag
+    assert not run((1e-4, 1e-4, 1e-4))      # dark -> no flag
+
+
+def test_light_kill_reverts_via_tick(assets_dir):
+    """The rendered in_light observation plumbs through Game.tick and
+    reverts the player to its checkpoint."""
+    from voxtracer.game.level import Game
+
+    game = Game(seed=11)
+    start_pos = tuple(game.volumes[0].position)
+
+    def fake_probe(o, d, dist):
+        return 1, 1.0, np.array([1.0, 0.0, -2.0], np.float32), \
+            np.array([0.0, 1.0, 0.0], np.float32)
+
+    game.tick(0.016, "w", fake_probe)
+    assert tuple(game.volumes[0].position) != start_pos
+    game.tick(0.016, None, fake_probe, in_light=True)
+    assert game.state.static_camera
+    np.testing.assert_allclose(game.volumes[0].position, start_pos,
+                               atol=1e-5)

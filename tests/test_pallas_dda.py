@@ -1,0 +1,90 @@
+"""Parity: Pallas VMEM-resident traversal (kernels/pallas_dda.py) vs the
+XLA occupancy traversal (kernels/dda_occ.py).  Runs the kernel in
+interpreter mode on the CPU mesh; numerical semantics are identical so the
+comparison is exact on hit/cell/vol and tight on t/normals."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxtracer.kernels import dda, dda_occ
+from voxtracer.kernels.pallas_dda import traverse_pallas
+from tests.test_dda_occ import _args, _rand_rays, _rand_scene
+
+N = 384  # padded to 1 block of 16x128 inside the kernel
+
+
+@pytest.mark.parametrize("seed,nvol", [(0, 1), (1, 3), (2, 4)])
+def test_nearest_parity(seed, nvol):
+    rng = np.random.default_rng(seed)
+    vols = _rand_scene(rng, nvol=nvol)
+    o, d = _rand_rays(rng, n=N)
+    n = o.shape[0]
+    act = jnp.ones(n, bool)
+    tl = jnp.full(n, dda.BIG, jnp.float32)
+    ven = jnp.ones(vols.n, bool)
+    kw = dict(occ=jnp.asarray(vols.occ),
+              bricksize=jnp.asarray(vols.bricksize))
+
+    ref = dda_occ.traverse_occ(*_args(vols), o, d, tl, act, ven, **kw,
+                               mode="nearest")
+    new = traverse_pallas(*_args(vols), o, d, tl, act, ven, **kw,
+                          mode="nearest", interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(new["hit"]))
+    h = np.asarray(ref["hit"])
+    np.testing.assert_allclose(np.asarray(ref["t"])[h],
+                               np.asarray(new["t"])[h], rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ref["cell"])[h],
+                                  np.asarray(new["cell"])[h])
+    np.testing.assert_array_equal(np.asarray(ref["vol"])[h],
+                                  np.asarray(new["vol"])[h])
+    for c in ("nx", "ny", "nz"):
+        np.testing.assert_allclose(np.asarray(ref[c])[h],
+                                   np.asarray(new[c])[h],
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_occluded_parity(seed):
+    rng = np.random.default_rng(seed)
+    vols = _rand_scene(rng, nvol=3)
+    o, d = _rand_rays(rng, n=N)
+    n = o.shape[0]
+    act = jnp.ones(n, bool)
+    tl = jnp.asarray(rng.uniform(0.5, 4.0, n).astype(np.float32))
+    ven = jnp.ones(vols.n, bool)
+    kw = dict(occ=jnp.asarray(vols.occ),
+              bricksize=jnp.asarray(vols.bricksize))
+
+    ref = dda_occ.traverse_occ(*_args(vols), o, d, tl, act, ven, **kw,
+                               mode="occluded")
+    new = traverse_pallas(*_args(vols), o, d, tl, act, ven, **kw,
+                          mode="occluded", interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(new["hit"]))
+
+
+def test_inactive_and_disabled():
+    """Inactive rays stay misses; disabled volumes are never hit."""
+    rng = np.random.default_rng(9)
+    vols = _rand_scene(rng, nvol=3)
+    o, d = _rand_rays(rng, n=N)
+    n = o.shape[0]
+    act = jnp.asarray(rng.integers(0, 2, n).astype(bool))
+    tl = jnp.full(n, dda.BIG, jnp.float32)
+    ven = jnp.asarray([True, False, True])
+    kw = dict(occ=jnp.asarray(vols.occ),
+              bricksize=jnp.asarray(vols.bricksize))
+
+    ref = dda_occ.traverse_occ(*_args(vols), o, d, tl, act, ven, **kw,
+                               mode="nearest")
+    new = traverse_pallas(*_args(vols), o, d, tl, act, ven, **kw,
+                          mode="nearest", interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(new["hit"]))
+    assert not np.any(np.asarray(new["hit"]) & ~np.asarray(act))
+    assert not np.any(np.asarray(new["vol"]) == 1)
+    h = np.asarray(ref["hit"])
+    np.testing.assert_array_equal(np.asarray(ref["vol"])[h],
+                                  np.asarray(new["vol"])[h])

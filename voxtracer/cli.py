@@ -89,12 +89,14 @@ def cmd_play(args):
     from voxtracer.config import RenderConfig
     from voxtracer.game.level import Game
     from voxtracer.io.image import write_png
-    from voxtracer.render.integrator import find_nearest_world, render
+    from voxtracer.render.integrator import (find_nearest_world, render,
+                                             render_game_frame)
     from voxtracer.render.tonemap import to_rgb8
 
     game = Game(seed=args.seed)
     cfg = RenderConfig(width=args.width or 128, height=args.height or 106,
-                       mode="path", max_bounces=6)
+                       mode="path", max_bounces=6,
+                       detect_light_kill=args.light_kill)
     scene = None
 
     def probe(o, d, dist):
@@ -112,7 +114,18 @@ def cmd_play(args):
 
     moves = list(args.moves) if args.moves else ["w"] * args.steps
     for i, mv in enumerate(moves[:args.steps]):
-        game.tick(0.1, mv, probe)
+        in_light = None
+        if args.light_kill:
+            # render this frame and observe the kill flag
+            # (renderer.cpp:2112-2118: render happens before game logic)
+            if scene is None or game.dirty:
+                scene = jax.tree.map(jnp.asarray,
+                                     game.build_scene(cfg.width, cfg.height))
+            _, lit = render_game_frame(scene, cfg,
+                                       jax.random.fold_in(
+                                           jax.random.PRNGKey(1), i), 1)
+            in_light = bool(lit)
+        game.tick(0.1, mv, probe, in_light=in_light)
         if game.state.won:
             print("WIN")
             break
@@ -157,6 +170,8 @@ def main(argv=None):
     g.add_argument("--height", type=int, default=0)
     g.add_argument("--spp", type=int, default=1)
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--light-kill", action="store_true",
+                   help="render each step and detect the light-kill revert")
     g.add_argument("--output", default="game.png")
     g.set_defaults(fn=cmd_play)
 

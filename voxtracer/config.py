@@ -45,3 +45,11 @@ class RenderConfig:
     # collectives).
     compact_chunks: int = 4
     compact_min: int = 65536
+    # game light-kill detection (renderer.cpp:1437-1450): when a path-mode
+    # ray shades a SMOKE_PLAYER cell, evaluate direct illumination at the
+    # hit; sqrLength > light_kill_threshold flags the ray.  The per-frame
+    # OR of the flags feeds Game.tick's checkpoint revert
+    # (renderer.cpp:2112-2118).  Off by default: it costs one extra fused
+    # shadow pass per bounce and only the game consumes it.
+    detect_light_kill: bool = False
+    light_kill_threshold: float = 16.0

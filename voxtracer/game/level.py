@@ -254,11 +254,18 @@ class Game:
     # per-frame logic (Tick game section, renderer.cpp:2103-2204)
     # ------------------------------------------------------------------
     def tick(self, dt: float, keydir: str | None, find_nearest_player,
-             revert_key: bool = False):
+             revert_key: bool = False, in_light: bool | None = None):
         """One game step.  `find_nearest_player(o, d, dist)` -> (vol_idx, t,
         point, normal) traces against all volumes but 0, smoke filtered
-        (FindNearestPlayer semantics)."""
+        (FindNearestPlayer semantics).
+
+        `in_light` is the renderer's light-kill observation for the frame
+        just drawn (render_game_frame aux, renderer.cpp:1437-1450); it ORs
+        into the state flag consumed by the checkpoint revert below
+        (renderer.cpp:2112-2118)."""
         st = self.state
+        if in_light is not None:
+            st.in_light = st.in_light or bool(in_light)
         if st.static_camera:
             st.static_camera_timer += dt
             if st.static_camera_timer > st.time_to_reactivate:

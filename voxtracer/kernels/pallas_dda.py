@@ -1,0 +1,545 @@
+"""Pallas (Mosaic) fused traversal — the VMEM-resident DDA kernel.
+
+Round-1 traversal (kernels/dda_occ.py) is gather-bound: every outer
+iteration fetches one occupancy row per ray x volume pair from HBM at a
+measured ~4.8 ns/row (scripts/probe_pallas.py, honest tunnel timing).
+Inside a Pallas kernel the same fetch is a `tpu.dynamic_gather` lane
+shuffle from a VMEM-resident table at ~0.007 ns/idx (128-entry table) or
+~0.08 ns/idx (2048-entry table via a 16-block where-chain) — 60-600x
+cheaper.  This kernel therefore keeps ALL traversal tables in VMEM and
+runs the whole DDA loop on-core:
+
+  * brick-occupied bitmask  (V x M^3 bits as int32 words, <=1 KiB)   —
+    macro empty-space test = ONE lane gather + bit test;
+  * per-brick 512-bit cell-occupancy rows ([V*M^3, 16] words)        —
+    fetched only on brick DESCEND via 16 chained lane gathers;
+  * per-volume constants (inv/fwd/cube/gridsize, [26, V])            —
+    free lane gathers at candidate-switch time.
+
+Structure differences vs dda_occ (same RESULTS):
+  * per-LANE sequential candidates instead of [V, N] pairs: each ray
+    walks its volumes in cube-entry-t order (sorted in XLA beforehand)
+    and stops as soon as its best hit precedes the next candidate's
+    entry — work per ray is ~1 volume walk instead of K lockstep pair
+    walks;
+  * the per-walk t-limit is min(t_limit, nextafter(best_t)) so an
+    exact-t tie in a later candidate can still be recorded and lose the
+    earliest-original-volume tie-break (parity with traverse_occ_topk).
+
+Reference being replaced: Scene::FindNearest / IsOccluded
+(scene.cpp:719-1047) under Renderer::FindNearest's instance loop
+(renderer.cpp:946-1018).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from voxtracer.core.types import MAT_NONE, OCC_ANY
+from voxtracer.kernels.dda import BIG, BRICK, F32, I32, _setup
+from voxtracer.kernels.dda_occ import _entry_t, _tree16
+
+INNER = 8  # gather-free fine steps per outer iteration
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+# --------------------------------------------------------------------------
+# In-kernel gather helpers (tpu.dynamic_gather via 2-D take_along_axis)
+# --------------------------------------------------------------------------
+
+def _g128(row, idx):
+    """Per-lane gather from a 128-entry table: row [128], idx [B,128]."""
+    tab = jnp.broadcast_to(row[None, :], idx.shape)
+    return jnp.take_along_axis(tab, idx & 127, axis=1)
+
+
+def _gchain(rows, idx, nblocks):
+    """Per-lane gather from `rows` = list of nblocks [128]-rows."""
+    if nblocks == 1:
+        return _g128(rows[0], idx)
+    hi = idx >> 7
+    out = _g128(rows[0], idx)
+    for k in range(1, nblocks):
+        v = _g128(rows[k], idx)
+        out = jnp.where(hi == k, v, out)
+    return out
+
+
+def _next_after(t):
+    """nextafter(t, +inf) for non-negative finite f32 via int bit bump."""
+    bits = jax.lax.bitcast_convert_type(t, I32)
+    return jax.lax.bitcast_convert_type(bits + 1, F32)
+
+
+# --------------------------------------------------------------------------
+# The nearest / occluded kernel
+# --------------------------------------------------------------------------
+
+def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
+                 m3: int, nb_occ: int, nb_bm: int, inner: int,
+                 max_outer: int):
+    """Kernel body builder.  Static geometry:
+      v volumes; b sublane rows per block; side = padded grid side;
+      mside = padded brick-grid side; m3 = mside^3;
+      nb_occ = ceil(v*m3/128) chain blocks for the cell-word tables;
+      nb_bm  = ceil(ceil(v*m3/32)/128) blocks for the brick mask."""
+    is_occl = mode == "occluded"
+    g3 = side ** 3
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,
+               act_ref, vid_ref, t0s_ref, vtab_ref, occw_ref, bm_ref,
+               hit_ref, t_ref, vol_ref, gidx_ref, nx_ref, ny_ref, nz_ref):
+        shape = (b, 128)
+        wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
+        wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
+        tl = tl_ref[0]
+        ray_act = act_ref[0] != 0
+        vid_all = vid_ref[0]     # [v, b, 128]
+        t0s_all = t0s_ref[0]
+        vtab = [vtab_ref[c] for c in range(26)]          # [128] rows
+        occ_rows = [[occw_ref[w, k] for k in range(nb_occ)]
+                    for w in range(16)]
+        bm_rows = [bm_ref[0, k] for k in range(nb_bm)]
+
+        def vconst(c, vol):
+            return _g128(vtab[c], vol)
+
+        def chain_row(k_sel, arr):
+            out = arr[0]
+            for kk in range(1, v):
+                out = jnp.where(k_sel == kk, arr[kk], out)
+            return out
+
+        zf = jnp.zeros(shape, F32)
+        zi = jnp.zeros(shape, I32)
+        zb = jnp.zeros(shape, bool)
+
+        # NOTE: boolean masks are carried as int32 — Mosaic's layout
+        # inference rejects i1 vectors in while-loop carries (measured:
+        # "scf.yield ... #tpu.vpad<none>" compile failure).
+        state = dict(
+            # candidate bookkeeping
+            k=zi, done=(~ray_act).astype(I32), walking=zi, level=zi,
+            best_hit=zi, best_t=jnp.full(shape, BIG, F32),
+            best_vol=jnp.full(shape, -2, I32), best_gidx=zi,
+            # current-walk per-lane constants
+            vol=zi, eff_tl=zf,
+            rox=zf, roy=zf, roz=zf, rdx=zf, rdy=zf, rdz=zf,
+            rrdx=zf, rrdy=zf, rrdz=zf, rsx=zf, rsy=zf, rsz=zf,
+            bx=zf, by=zf, bz=zf, gs_f=jnp.ones(shape, F32),
+            stx=zi, sty=zi, stz=zi,
+            tdx=zf, tdy=zf, tdz=zf, mtdx=zf, mtdy=zf, mtdz=zf,
+            # DDA positions
+            t=zf, px=zi, py=zi, pz=zi, tmx=zf, tmy=zf, tmz=zf,
+            mpx=zi, mpy=zi, mpz=zi, mtmx=zf, mtmy=zf, mtmz=zf,
+            ms_i=jnp.ones(shape, I32),
+            outer=jnp.int32(0),
+        )
+        state.update({f"w{j}": zi for j in range(16)})
+
+        def body(st):
+            st = dict(st)
+            for nm in ("done", "walking", "level", "best_hit"):
+                st[nm] = st[nm] != 0
+            # ---- 1. candidate switch for idle lanes --------------------
+            need = ~st["done"] & ~st["walking"]
+            k = st["k"]
+            vid_k = chain_row(k, vid_all)
+            t0_k = chain_row(k, t0s_all)
+            bound = jnp.minimum(tl, _next_after(st["best_t"]))
+            ok = (need & (k < v) & (t0_k < 1e33)
+                  & (t0_k <= jnp.minimum(tl, st["best_t"])))
+            st["done"] = st["done"] | (need & ~ok)
+            st["k"] = jnp.where(ok, k + 1, k)
+
+            vol = jnp.where(ok, vid_k, st["vol"])
+            # per-volume constants (vtab rows: 12 inv, 9 fwd, 3 cube, gs, ms)
+            iv = [vconst(c, vol) for c in range(12)]
+            bxn, byn, bzn = vconst(21, vol), vconst(22, vol), vconst(23, vol)
+            gs_fn, ms_fn = vconst(24, vol), vconst(25, vol)
+            rox = iv[0] * wox + iv[1] * woy + iv[2] * woz + iv[3]
+            roy = iv[4] * wox + iv[5] * woy + iv[6] * woz + iv[7]
+            roz = iv[8] * wox + iv[9] * woy + iv[10] * woz + iv[11]
+            rdxn = iv[0] * wdx + iv[1] * wdy + iv[2] * wdz
+            rdyn = iv[4] * wdx + iv[5] * wdy + iv[6] * wdz
+            rdzn = iv[8] * wdx + iv[9] * wdy + iv[10] * wdz
+            sel = lambda a, bv: jnp.where(ok, a, bv)
+            st["vol"] = vol
+            st["bx"], st["by"], st["bz"] = (sel(bxn, st["bx"]),
+                                            sel(byn, st["by"]),
+                                            sel(bzn, st["bz"]))
+            st["gs_f"] = sel(gs_fn, st["gs_f"])
+            st["ms_i"] = sel(ms_fn.astype(I32), st["ms_i"])
+            st["rox"], st["roy"], st["roz"] = (sel(rox, st["rox"]),
+                                               sel(roy, st["roy"]),
+                                               sel(roz, st["roz"]))
+            st["rdx"], st["rdy"], st["rdz"] = (sel(rdxn, st["rdx"]),
+                                               sel(rdyn, st["rdy"]),
+                                               sel(rdzn, st["rdz"]))
+            st["rrdx"] = sel(1.0 / rdxn, st["rrdx"])
+            st["rrdy"] = sel(1.0 / rdyn, st["rrdy"])
+            st["rrdz"] = sel(1.0 / rdzn, st["rrdz"])
+            st["rsx"] = sel(jnp.signbit(rdxn).astype(F32), st["rsx"])
+            st["rsy"] = sel(jnp.signbit(rdyn).astype(F32), st["rsy"])
+            st["rsz"] = sel(jnp.signbit(rdzn).astype(F32), st["rsz"])
+
+            r = dict(ox=st["rox"], oy=st["roy"], oz=st["roz"],
+                     dx=st["rdx"], dy=st["rdy"], dz=st["rdz"],
+                     rdx=st["rrdx"], rdy=st["rrdy"], rdz=st["rrdz"],
+                     sx=st["rsx"], sy=st["rsy"], sz=st["rsz"])
+            gs_i = st["gs_f"].astype(I32)
+            ms_i = st["ms_i"]
+            ms_f = ms_i.astype(F32)
+
+            # macro + fine Setup3DDDA (only `ok` lanes adopt the results)
+            sm = _setup(r, st["bx"], st["by"], st["bz"], ms_f, ms_i)
+            s_f = _setup(r, st["bx"], st["by"], st["bz"], st["gs_f"], gs_i)
+            start = ok & sm["valid"] & (sm["t0"] < bound)
+            st["walking"] = st["walking"] | start
+            st["level"] = st["level"] & ~start
+            st["eff_tl"] = jnp.where(ok, bound, st["eff_tl"])
+            st["t"] = jnp.where(start, sm["t0"], st["t"])
+            for nm, val in (("stx", sm["stx"]), ("sty", sm["sty"]),
+                            ("stz", sm["stz"]),
+                            ("mtdx", sm["tdx"]), ("mtdy", sm["tdy"]),
+                            ("mtdz", sm["tdz"]),
+                            ("mpx", sm["px"]), ("mpy", sm["py"]),
+                            ("mpz", sm["pz"]),
+                            ("mtmx", sm["tmx"]), ("mtmy", sm["tmy"]),
+                            ("mtmz", sm["tmz"]),
+                            ("tdx", s_f["tdx"]), ("tdy", s_f["tdy"]),
+                            ("tdz", s_f["tdz"])):
+                st[nm] = jnp.where(start, val, st[nm])
+
+            # ---- 2. brick-mask test: descend or skip -------------------
+            at_m = st["walking"] & ~st["level"]
+            midx = (st["mpx"] * mside + st["mpy"]) * mside + st["mpz"]
+            grow = st["vol"] * m3 + midx
+            bmw = _gchain(bm_rows, grow >> 5, nb_bm)
+            occ_bit = (jnp.right_shift(bmw, grow & 31) & 1) == 1
+            descend = at_m & occ_bit
+            skip = at_m & ~occ_bit
+
+            # ---- 3. descend: fetch the brick's 512 bits + seed fine ----
+            words = []
+            for j in range(16):
+                wj = _gchain(occ_rows[j], grow, nb_occ)
+                wj = jnp.where(descend, wj, st[f"w{j}"])
+                st[f"w{j}"] = wj
+                words.append(wj)
+
+            cellw = 1.0 / st["gs_f"]
+
+            def fine_init_axis(oc, dc, rdc, sc, b0, t):
+                pos = st["gs_f"] * ((oc - b0) + (t + 5e-5) * dc)
+                pln = (jnp.ceil(pos) - sc) * cellw
+                p = jnp.clip(pos.astype(I32), 0, gs_i - 1)
+                tm = (pln - (oc - b0)) * rdc
+                return p, tm
+
+            fpx, ftmx = fine_init_axis(r["ox"], r["dx"], r["rdx"], r["sx"],
+                                       st["bx"], st["t"])
+            fpy, ftmy = fine_init_axis(r["oy"], r["dy"], r["rdy"], r["sy"],
+                                       st["by"], st["t"])
+            fpz, ftmz = fine_init_axis(r["oz"], r["dz"], r["rdz"], r["sz"],
+                                       st["bz"], st["t"])
+            blox = st["mpx"] * BRICK
+            bloy = st["mpy"] * BRICK
+            bloz = st["mpz"] * BRICK
+            fpx = jnp.clip(fpx, blox, jnp.minimum(blox + BRICK - 1, gs_i - 1))
+            fpy = jnp.clip(fpy, bloy, jnp.minimum(bloy + BRICK - 1, gs_i - 1))
+            fpz = jnp.clip(fpz, bloz, jnp.minimum(bloz + BRICK - 1, gs_i - 1))
+            px = jnp.where(descend, fpx, st["px"])
+            py = jnp.where(descend, fpy, st["py"])
+            pz = jnp.where(descend, fpz, st["pz"])
+            tmx = jnp.where(descend, ftmx, st["tmx"])
+            tmy = jnp.where(descend, ftmy, st["tmy"])
+            tmz = jnp.where(descend, ftmz, st["tmz"])
+
+            # ---- 4. gather-free fine steps ------------------------------
+            act_f = st["walking"] & (st["level"] | descend)
+            t = st["t"]
+            hit = zb
+            hit_t = zf
+            hit_gidx = zi
+            go_macro = zb
+            eff_tl = st["eff_tl"]
+            for _ in range(inner):
+                bidx = ((px - blox) * 8 + (py - bloy)) * 8 + (pz - bloz)
+                word = _tree16(words, bidx >> 5)
+                bit = (jnp.right_shift(word, bidx & 31) & 1) == 1
+                pred = act_f & bit & (t < eff_tl)
+                hit = hit | pred
+                hit_t = jnp.where(pred, t, hit_t)
+                hit_gidx = jnp.where(
+                    pred, st["vol"] * g3 + (px * side + py) * side + pz,
+                    hit_gidx)
+                act_f = act_f & ~pred
+
+                first = tmx < tmy
+                use_x = first & (tmx < tmz)
+                use_y = (~first) & (tmy < tmz)
+                use_z = ~(use_x | use_y)
+                t_new = jnp.where(use_x, tmx, jnp.where(use_y, tmy, tmz))
+                px = px + jnp.where(act_f & use_x, st["stx"], 0)
+                py = py + jnp.where(act_f & use_y, st["sty"], 0)
+                pz = pz + jnp.where(act_f & use_z, st["stz"], 0)
+                moved = jnp.where(use_x, px, jnp.where(use_y, py, pz))
+                out_grid = (moved < 0) | (moved >= gs_i)
+                blo = jnp.where(use_x, blox, jnp.where(use_y, bloy, bloz))
+                out_brick = (moved < blo) | (moved >= blo + BRICK)
+                tmx = tmx + jnp.where(act_f & use_x, st["tdx"], 0.0)
+                tmy = tmy + jnp.where(act_f & use_y, st["tdy"], 0.0)
+                tmz = tmz + jnp.where(act_f & use_z, st["tdz"], 0.0)
+                t = jnp.where(act_f, t_new, t)
+                act_f = act_f & (t_new < eff_tl)
+                leave = act_f & out_brick & ~out_grid
+                go_macro = go_macro | leave
+                act_f = act_f & ~out_grid & ~out_brick
+
+            was_fine = st["level"] | descend
+            st["px"], st["py"], st["pz"] = px, py, pz
+            st["tmx"], st["tmy"], st["tmz"] = tmx, tmy, tmz
+            st["level"] = was_fine & act_f
+
+            # ---- 5. macro advance: skips + fine walks that left --------
+            do_m = skip | go_macro
+            mtmx, mtmy, mtmz = st["mtmx"], st["mtmy"], st["mtmz"]
+            first = mtmx < mtmy
+            mx = first & (mtmx < mtmz)
+            my = (~first) & (mtmy < mtmz)
+            mz = ~(mx | my)
+            mt_new = jnp.where(mx, mtmx, jnp.where(my, mtmy, mtmz))
+            st["mpx"] = st["mpx"] + jnp.where(do_m & mx, st["stx"], 0)
+            st["mpy"] = st["mpy"] + jnp.where(do_m & my, st["sty"], 0)
+            st["mpz"] = st["mpz"] + jnp.where(do_m & mz, st["stz"], 0)
+            mmoved = jnp.where(mx, st["mpx"], jnp.where(my, st["mpy"],
+                                                        st["mpz"]))
+            m_out = (mmoved < 0) | (mmoved >= ms_i)
+            st["mtmx"] = mtmx + jnp.where(do_m & mx, st["mtdx"], 0.0)
+            st["mtmy"] = mtmy + jnp.where(do_m & my, st["mtdy"], 0.0)
+            st["mtmz"] = mtmz + jnp.where(do_m & mz, st["mtdz"], 0.0)
+            st["t"] = jnp.where(do_m, mt_new, t)
+            macro_end = do_m & (m_out | ~(mt_new < eff_tl))
+
+            # walk continues if: fine lanes still stepping, or handing to
+            # macro (go_macro), or macro lanes that stepped in-bounds
+            fine_ended = was_fine & ~act_f & ~go_macro
+            st["walking"] = st["walking"] & ~fine_ended & ~macro_end
+
+            # ---- 6. merge this iteration's hits into the per-ray best --
+            if is_occl:
+                st["best_hit"] = st["best_hit"] | hit
+                st["done"] = st["done"] | hit
+            else:
+                better = hit & (~st["best_hit"] | (hit_t < st["best_t"])
+                                | ((hit_t == st["best_t"])
+                                   & (st["vol"] < st["best_vol"])))
+                st["best_hit"] = st["best_hit"] | better
+                st["best_t"] = jnp.where(better, hit_t, st["best_t"])
+                st["best_vol"] = jnp.where(better, st["vol"], st["best_vol"])
+                st["best_gidx"] = jnp.where(better, hit_gidx,
+                                            st["best_gidx"])
+
+            st["outer"] = st["outer"] + 1
+            for nm in ("done", "walking", "level", "best_hit"):
+                st[nm] = st[nm].astype(I32)
+            return st
+
+        def cond(st):
+            return jnp.any((st["done"] == 0) | (st["walking"] != 0)) & (
+                st["outer"] < max_outer)
+
+        st = jax.lax.while_loop(cond, body, state)
+        st = dict(st)
+        st["best_hit"] = st["best_hit"] != 0
+
+        if is_occl:
+            hit_ref[0] = st["best_hit"].astype(I32)
+            t_ref[0] = st["best_t"]
+            vol_ref[0] = st["best_vol"]
+            gidx_ref[0] = st["best_gidx"]
+            nx_ref[0] = jnp.zeros(shape, F32)
+            ny_ref[0] = jnp.zeros(shape, F32)
+            nz_ref[0] = jnp.zeros(shape, F32)
+            return
+
+        # ---- normals for the winning volume (GetNormalVoxel,
+        # scene.cpp:121-148) — once, after the loop --------------------
+        volw = jnp.maximum(st["best_vol"], 0)
+        iv = [vconst(c, volw) for c in range(12)]
+        fw = [vconst(12 + c, volw) for c in range(9)]
+        gs_f = vconst(24, volw)
+        rox = iv[0] * wox + iv[1] * woy + iv[2] * woz + iv[3]
+        roy = iv[4] * wox + iv[5] * woy + iv[6] * woz + iv[7]
+        roz = iv[8] * wox + iv[9] * woy + iv[10] * woz + iv[11]
+        rdx = iv[0] * wdx + iv[1] * wdy + iv[2] * wdz
+        rdy = iv[4] * wdx + iv[5] * wdy + iv[6] * wdz
+        rdz = iv[8] * wdx + iv[9] * wdy + iv[10] * wdz
+        t = st["best_t"]
+
+        def frac(o, dc):
+            i1 = (o + t * dc) * gs_f
+            fg = i1 - jnp.floor(i1)
+            return jnp.minimum(fg, 1.0 - fg)
+
+        ddx, ddy, ddz = frac(rox, rdx), frac(roy, rdy), frac(roz, rdz)
+        mind = jnp.minimum(ddx, jnp.minimum(ddy, ddz))
+        nx = jnp.where(ddx == mind,
+                       jnp.signbit(rdx).astype(F32) * 2.0 - 1.0, 0.0)
+        ny = jnp.where(ddy == mind,
+                       jnp.signbit(rdy).astype(F32) * 2.0 - 1.0, 0.0)
+        nz = jnp.where(ddz == mind,
+                       jnp.signbit(rdz).astype(F32) * 2.0 - 1.0, 0.0)
+        wx = fw[0] * nx + fw[1] * ny + fw[2] * nz
+        wy = fw[3] * nx + fw[4] * ny + fw[5] * nz
+        wz = fw[6] * nx + fw[7] * ny + fw[8] * nz
+        inv_len = jax.lax.rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz,
+                                            1e-20))
+        h = st["best_hit"]
+        hit_ref[0] = h.astype(I32)
+        t_ref[0] = jnp.where(h, st["best_t"], BIG)
+        vol_ref[0] = jnp.where(h, st["best_vol"], -2)
+        gidx_ref[0] = st["best_gidx"]
+        nx_ref[0] = jnp.where(h, wx * inv_len, 0.0)
+        ny_ref[0] = jnp.where(h, wy * inv_len, 0.0)
+        nz_ref[0] = jnp.where(h, wz * inv_len, 0.0)
+
+    return kernel
+
+
+def _pad_to(x, m, axis=0, fill=0):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _prep_tables(gridsize, inv, fwd, cube_min, occ, bricksize, plane):
+    """Pack per-volume constants + occupancy into kernel VMEM tables."""
+    v = gridsize.shape[0]
+    m3 = occ.shape[2]
+    # vtab [26, 128]: 12 inv rows, 9 fwd rows, 3 cube_min, gs_f, ms_f
+    vtab = jnp.concatenate([
+        inv[:, :3, :].reshape(v, 12),
+        fwd[:, :3, :3].reshape(v, 9),
+        cube_min,
+        gridsize.astype(F32)[:, None],
+        bricksize.astype(F32)[:, None],
+    ], axis=1).T  # [26, V]
+    vtab = _pad_to(vtab, 128, axis=1)
+
+    occp = occ[plane].reshape(v * m3, 16)  # [V*M3, 16]
+    rows = _pad_to(occp, 128, axis=0)
+    nb_occ = rows.shape[0] // 128
+    occw = rows.T.reshape(16, nb_occ, 128)
+
+    # brick-occupied bitmask: bit (vol*m3+brick) set iff any cell word != 0
+    nz = jnp.any(occp != 0, axis=1).astype(jnp.int32)  # [V*M3]
+    nz = _pad_to(nz, 32 * 128, axis=0)
+    shifts = jnp.left_shift(nz.reshape(-1, 32),
+                            jnp.arange(32, dtype=jnp.int32)[None, :])
+    bmw = shifts.sum(axis=1).astype(jnp.int32)
+    bmw = _pad_to(bmw, 128, axis=0)
+    nb_bm = bmw.shape[0] // 128
+    bm = bmw.reshape(1, nb_bm, 128)
+    return vtab, occw, nb_occ, bm, nb_bm
+
+
+@partial(jax.jit, static_argnames=("mode", "max_outer", "inner",
+                                   "block_rows", "interpret"))
+def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
+                    ray_active, vol_enabled, occ, bricksize,
+                    mode="nearest", max_outer=4096, inner=INNER,
+                    block_rows=16, interpret=None):
+    """Pallas traversal, drop-in for dda_occ.traverse_occ_topk
+    (modes nearest / occluded).  Returns the same per-ray dicts."""
+    assert mode in ("nearest", "occluded")
+    if interpret is None:
+        interpret = not _on_tpu()
+    v = gridsize.shape[0]
+    n = o.shape[0]
+    g3 = grids_flat.shape[0] // v
+    side = round(g3 ** (1.0 / 3.0))
+    m3 = occ.shape[2]
+    mside = round(m3 ** (1.0 / 3.0))
+
+    vtab, occw, nb_occ, bm, nb_bm = _prep_tables(
+        gridsize, inv, fwd, cube_min, occ, bricksize, OCC_ANY)
+
+    # entry-ordered candidates (stable sort keeps original-volume order on
+    # exact entry-t ties — the earliest-volume tie-break needs it)
+    t0_all = _entry_t(inv, cube_min, o, d)  # [V, N]
+    t0_all = jnp.where(vol_enabled[:, None], t0_all, BIG)
+    t0_all = jnp.where(jnp.isnan(t0_all), BIG, t0_all)
+    ids = jnp.broadcast_to(jnp.arange(v, dtype=I32)[:, None], (v, n))
+    t0_sorted, id_sorted = jax.lax.sort((t0_all, ids), dimension=0,
+                                        num_keys=1)
+
+    blk = block_rows * 128
+    npad = -(-n // blk) * blk
+    nblk = npad // blk
+
+    def rays2d(x, fill=0):
+        return _pad_to(x, blk, axis=0, fill=fill).reshape(nblk, block_rows,
+                                                          128)
+
+    def cand4d(x, fill):
+        xp = _pad_to(x, blk, axis=1, fill=fill)
+        return xp.reshape(v, nblk, block_rows, 128).transpose(1, 0, 2, 3)
+
+    ins = [rays2d(o[:, 0]), rays2d(o[:, 1]), rays2d(o[:, 2]),
+           rays2d(d[:, 0]), rays2d(d[:, 1]), rays2d(d[:, 2]),
+           rays2d(t_limit, BIG), rays2d(ray_active.astype(I32)),
+           cand4d(id_sorted, 0), cand4d(t0_sorted, BIG),
+           vtab, occw, bm]
+
+    ray_spec = pl.BlockSpec((1, block_rows, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    cand_spec = pl.BlockSpec((1, v, block_rows, 128),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def full(x):
+        nd = x.ndim
+        return pl.BlockSpec(x.shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    kernel = _make_kernel(mode, v, block_rows, side, mside, m3, nb_occ,
+                          nb_bm, inner, max_outer)
+
+    out_shapes = [jax.ShapeDtypeStruct((nblk, block_rows, 128), dt)
+                  for dt in (I32, F32, I32, I32, F32, F32, F32)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[ray_spec] * 8 + [cand_spec] * 2
+                 + [full(vtab), full(occw), full(bm)],
+        out_specs=[ray_spec] * 7,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*ins)
+
+    hit_i, t, vol, gidx, nx, ny, nz = [x.reshape(npad)[:n] for x in outs]
+    sg = jax.lax.stop_gradient
+    if mode == "occluded":
+        return dict(hit=sg(hit_i != 0))
+    hitm = hit_i != 0
+    mat = jnp.take(grids_flat, gidx, mode="clip")
+    return dict(
+        hit=sg(hitm),
+        t=sg(t),
+        cell=sg(jnp.where(hitm, mat, MAT_NONE)),
+        vol=sg(vol),
+        nx=sg(nx), ny=sg(ny), nz=sg(nz),
+    )

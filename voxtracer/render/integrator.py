@@ -512,6 +512,19 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
     t = jnp.where(fell, 0.0, t)
     p_hit = cadd(o, cscale(t, d))
 
+    # ---- light-kill detection (renderer.cpp:1437-1450): direct light at
+    # player-smoke hits; sqrLength > threshold flags the ray for the game's
+    # checkpoint revert.  Gated — costs one extra fused shadow pass.
+    in_light = st.get("in_light", jnp.zeros(n, bool))
+    if cfg.detect_light_kill:
+        # gate: SMOKE-class hit in the PLAYER volume (voxIndex == 0),
+        # renderer.cpp:1437-1450
+        lk_mask = active & is_smoke & (vol == 0)
+        lk = illumination(scene, cfg, p_hit, nrm, mat, lk_mask,
+                          jax.random.fold_in(bkey, 9))
+        in_light = in_light | (lk_mask
+                               & (cdot(lk, lk) > cfg.light_kill_threshold))
+
     # ---- NEE for diffuse-ish lobes
     u_lobe = jax.random.uniform(jax.random.fold_in(bkey, 1), (n,), F32)
     cos_in = jnp.clip(cdot(cneg(d), nrm), a_max=1.0)
@@ -592,11 +605,15 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
         o=cwhere(new_active, new_o, o),
         d=cwhere(new_active, new_d, d),
         tp=tp, rad=rad, in_glass=new_in_glass, active=new_active,
+        in_light=in_light,
     )
 
 
-def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key):
-    """Full stochastic light transport; o, d: [N, 3].  Returns [N, 3]."""
+def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key,
+               return_aux: bool = False):
+    """Full stochastic light transport; o, d: [N, 3].  Returns [N, 3]
+    radiance (and, with return_aux, a dict with the per-ray `in_light`
+    light-kill flags — renderer.cpp:1437-1450)."""
     n = o.shape[0]
     zero3 = (jnp.zeros(n, F32),) * 3
     one3 = (jnp.ones(n, F32),) * 3
@@ -605,12 +622,14 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key):
         tp=one3, rad=zero3,
         in_glass=jnp.zeros(n, bool),
         active=jnp.ones(n, bool),
+        in_light=jnp.zeros(n, bool),
     )
 
     if (cfg.compact_chunks > 1 and n >= cfg.compact_min
             and n % cfg.compact_chunks == 0):
-        return _trace_path_compacted(scene, cfg, state, key, n,
-                                     cfg.compact_chunks)
+        rad, aux = _trace_path_compacted(scene, cfg, state, key, n,
+                                         cfg.compact_chunks)
+        return (rad, aux) if return_aux else rad
 
     def bounce(carry):
         st, depth = carry
@@ -624,6 +643,8 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key):
         return (depth < cfg.max_bounces + 1) & jnp.any(st["active"])
 
     st, _ = jax.lax.while_loop(cond, bounce, (state, jnp.int32(0)))
+    if return_aux:
+        return cstack(st["rad"]), dict(in_light=st["in_light"])
     return cstack(st["rad"])
 
 
@@ -637,17 +658,18 @@ def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
     is 100/61/28/21/18% per bounce (scripts/probe_active.py), so bounces
     2+ run at 1-2 chunks instead of `chunks`.
 
-    State rides in ONE packed [n, 15] f32 matrix so the per-bounce
-    permutation is a single 2-D row gather (~2.6 ns/row vs 15 separate 1-D
+    State rides in ONE packed [n, 16] f32 matrix so the per-bounce
+    permutation is a single 2-D row gather (~2.6 ns/row vs 16 separate 1-D
     takes at 7.2 ns each, PERF_NOTES.md): columns 0-2 o, 3-5 d, 6-8
     throughput, 9-11 radiance, 12 in_glass, 13 active, 14 original ray id
-    (f32-exact for n < 2^24)."""
+    (f32-exact for n < 2^24), 15 in_light."""
     ch = n // chunks
 
     def pack(st, pix):
         cols = (list(st["o"]) + list(st["d"]) + list(st["tp"])
                 + list(st["rad"])
-                + [st["in_glass"].astype(F32), st["active"].astype(F32), pix])
+                + [st["in_glass"].astype(F32), st["active"].astype(F32), pix,
+                   st["in_light"].astype(F32)])
         return jnp.stack(cols, axis=1)
 
     def unpack(pk):
@@ -657,6 +679,7 @@ def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
             tp=(pk[:, 6], pk[:, 7], pk[:, 8]),
             rad=(pk[:, 9], pk[:, 10], pk[:, 11]),
             in_glass=pk[:, 12] > 0.5, active=pk[:, 13] > 0.5,
+            in_light=pk[:, 15] > 0.5,
         ), pk[:, 14]
 
     packed0 = pack(state, jnp.arange(n, dtype=F32))
@@ -693,7 +716,9 @@ def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
 
     pk, _ = jax.lax.while_loop(cond, outer, (packed0, jnp.int32(0)))
     pix = pk[:, 14].astype(jnp.int32)
-    return jnp.zeros((n, 3), F32).at[pix].set(pk[:, 9:12])
+    rad = jnp.zeros((n, 3), F32).at[pix].set(pk[:, 9:12])
+    in_light = jnp.zeros(n, bool).at[pix].set(pk[:, 15] > 0.5)
+    return rad, dict(in_light=in_light)
 
 
 # --------------------------------------------------------------------------
@@ -816,7 +841,8 @@ def _pixel_grid(cfg: RenderConfig):
     return px.reshape(-1), py.reshape(-1)
 
 
-def _sample_pixels(scene: SceneData, cfg: RenderConfig, key, px, py):
+def _sample_pixels(scene: SceneData, cfg: RenderConfig, key, px, py,
+                   return_aux: bool = False):
     """One sample for the given pixel coordinates -> radiance [N, 3]."""
     from voxtracer.render.camera import primary_rays
 
@@ -833,16 +859,37 @@ def _sample_pixels(scene: SceneData, cfg: RenderConfig, key, px, py):
     if cfg.mode == "primary":
         rec = find_nearest_world(scene, o, d, jnp.ones(n, bool))
         sky = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
-        return jnp.where(rec["hit"][:, None], _albedo(scene, rec["mat"]), sky)
+        rad = jnp.where(rec["hit"][:, None], _albedo(scene, rec["mat"]), sky)
+        return (rad, dict(in_light=jnp.zeros(n, bool))) if return_aux else rad
     if cfg.mode == "whitted":
-        return trace_whitted(scene, cfg, o, d, cfg.max_bounces)
-    return trace_path(scene, cfg, o, d, key)
+        rad = trace_whitted(scene, cfg, o, d, cfg.max_bounces)
+        return (rad, dict(in_light=jnp.zeros(n, bool))) if return_aux else rad
+    return trace_path(scene, cfg, o, d, key, return_aux=return_aux)
 
 
 def render_sample(scene: SceneData, cfg: RenderConfig, key):
     """One sample per pixel -> radiance [H*W, 3]."""
     px, py = _pixel_grid(cfg)
     return _sample_pixels(scene, cfg, key, px, py)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp"))
+def render_game_frame(scene: SceneData, cfg: RenderConfig, key, spp: int = 1):
+    """Game-loop frame: radiance image + the light-kill flag (ANY ray this
+    frame saw a lit player-smoke cell — renderer.cpp:1437-1450).  Requires
+    cfg.detect_light_kill and path mode."""
+    px, py = _pixel_grid(cfg)
+
+    def body(carry, i):
+        acc, lit = carry
+        k = jax.random.fold_in(key, i)
+        rad, aux = _sample_pixels(scene, cfg, k, px, py, return_aux=True)
+        return (acc + rad, lit | jnp.any(aux["in_light"])), None
+
+    (acc, lit), _ = jax.lax.scan(
+        body, (jnp.zeros((cfg.width * cfg.height, 3), F32), jnp.bool_(False)),
+        jnp.arange(spp))
+    return (acc / spp).reshape(cfg.height, cfg.width, 3), lit
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp"))
