@@ -23,13 +23,20 @@ k = min(V.max_aabb_crossings(scene, cfg), scene.volumes.n)
 print("diff k =", k, " band rays =", rows * W)
 
 
-def timed(name, fn, *a):
-    out = fn(*a)  # compile+warm
-    jax.block_until_ready(out)
-    t0 = time.time()
-    out = fn(*a)
-    jax.block_until_ready(out)
-    print(f"{name:28s} {time.time() - t0:7.3f} s", flush=True)
+def pull(x):
+    """block_until_ready is a no-op through the axon tunnel (measured,
+    PERF_NOTES.md) — force completion with a scalar host pull."""
+    return np.asarray(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32)))
+
+
+def timed(name, fn, *a, reps=3):
+    pull(fn(*a))  # compile+warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        pull(fn(*a))
+        ts.append(time.time() - t0)
+    print(f"{name:28s} {np.median(ts):7.3f} s", flush=True)
 
 
 row0 = jnp.float32(0)
@@ -73,3 +80,18 @@ for tiles in (2, 1):
         timed(f"grad both ({tiles}-band rows)", g2, params)
     except Exception as e:
         print(f"tiles={tiles} failed:", type(e).__name__, str(e)[:200])
+
+# ---- occupancy-span-tightened march (VERDICT item 4 redesign)
+for (steps, span, tiles) in ((48, 0, 4), (24, 4, 4), (16, 4, 4),
+                             (16, 4, 1), (24, 4, 1), (12, 3, 1)):
+    r2 = -(-H // tiles)
+    tgt2 = jnp.zeros((r2, W, 3), jnp.float32)
+    g2 = jax.jit(jax.grad(lambda p, s=steps, sp=span, r=r2, t=tgt2:
+                          V.mse_loss(p, scene, cfg, t, None, s,
+                                     row0=jnp.float32(0), rows=r,
+                                     k=k, span_steps=sp)))
+    try:
+        timed(f"grad steps={steps} span={span} tiles={tiles}", g2, params)
+    except Exception as e:
+        print(f"steps={steps} span={span} failed:",
+              type(e).__name__, str(e)[:160])

@@ -127,3 +127,59 @@ def test_pair_compaction_exact():
     dense = np.asarray(render_diff(params, scene, cfg, key, 24))
     comp = np.asarray(render_diff(params, scene, cfg, key, 24, k=kmax))
     np.testing.assert_allclose(dense, comp, rtol=1e-5, atol=1e-6)
+
+
+def test_span_march_matches_dense_forward(teapot_small):
+    """Occupancy-span tightening (span_steps>0) is a quadrature change,
+    not a scene change: with saturated densities both marches converge to
+    the same (hard) image."""
+    scene, cfg = teapot_small
+    params = params_from_scene(scene, occupied_logit=12.0, empty_logit=-12.0)
+    key = jax.random.PRNGKey(0)
+    dense = np.asarray(render_diff(params, scene, cfg, key, n_steps=256,
+                                   density_scale=4096.0))
+    span = np.asarray(render_diff(params, scene, cfg, key, n_steps=96,
+                                  density_scale=4096.0, span_steps=4))
+    diff = np.abs(dense - span).max(-1)
+    assert (diff < 0.05).mean() > 0.9, f"{(diff >= 0.05).mean():.1%} differ"
+    assert np.median(diff) < 5e-3
+
+
+def test_span_march_fd_gradients(teapot_small):
+    """Autodiff of the span-tightened march is exact for ITS forward."""
+    scene, cfg = teapot_small
+    params = params_from_scene(scene, occupied_logit=1.5, empty_logit=-1.5)
+    key = jax.random.PRNGKey(0)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    kw = dict(n_steps=32, span_steps=4)
+
+    g = jax.grad(mse_loss)(params, scene, cfg, target, key, **kw)
+    gd = np.asarray(g.density_logits)
+    assert np.isfinite(gd).all() and (np.abs(gd) > 0).any()
+    flat_idx = np.argsort(np.abs(gd).ravel())[-3:]
+    eps = 1e-2
+    base = float(mse_loss(params, scene, cfg, target, key, **kw))
+    for fi in flat_idx:
+        vi, xi, yi, zi = np.unravel_index(fi, gd.shape)
+        dl = np.asarray(params.density_logits).copy()
+        dl[vi, xi, yi, zi] += eps
+        lp = float(mse_loss(params.replace(density_logits=jnp.asarray(dl)),
+                            scene, cfg, target, key, **kw))
+        fd = (lp - base) / eps
+        ad = gd[vi, xi, yi, zi]
+        assert abs(fd - ad) < 0.1 * max(abs(fd), abs(ad), 1e-4), (fd, ad)
+    # empty-space gradients flow through the per-brick mean (dense adjoint)
+    grids = np.asarray(scene.volumes.grids)
+    empty_grad = gd[grids == 255]
+    assert (np.abs(empty_grad) > 0).any()
+
+
+def test_span_march_compaction_exact(teapot_small):
+    scene, cfg = teapot_small
+    params = params_from_scene(scene)
+    key = jax.random.PRNGKey(0)
+    dense = np.asarray(render_diff(params, scene, cfg, key, 24,
+                                   span_steps=4))
+    comp = np.asarray(render_diff(params, scene, cfg, key, 24, k=1,
+                                  span_steps=4))
+    np.testing.assert_allclose(dense, comp, atol=1e-6)

@@ -88,3 +88,38 @@ def test_inactive_and_disabled():
     h = np.asarray(ref["hit"])
     np.testing.assert_array_equal(np.asarray(ref["vol"])[h],
                                   np.asarray(new["vol"])[h])
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_exit_parity(seed):
+    from voxtracer.kernels.pallas_dda import exit_pallas
+
+    rng = np.random.default_rng(seed)
+    vols = _rand_scene(rng, nvol=3)
+    o, d = _rand_rays(rng, n=256)
+    o = o * 0.4  # origins near volume interiors
+    n = o.shape[0]
+    vol_idx = jnp.asarray(rng.integers(0, vols.n, n).astype(np.int32))
+    mode_code = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    mask = jnp.ones(n, bool)
+    kw = dict(occ=jnp.asarray(vols.occ),
+              bricksize=jnp.asarray(vols.bricksize))
+
+    ref = dda_occ.traverse_occ(*_args(vols), o, d,
+                               jnp.full(n, dda.BIG, jnp.float32), mask,
+                               jnp.ones(vols.n, bool), **kw,
+                               mode="exit", mode_code=mode_code,
+                               vol_match=vol_idx)
+    new = exit_pallas(*_args(vols), o, d, mask, mode_code, vol_idx, **kw,
+                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref["in_vol"]),
+                                  np.asarray(new["in_vol"]))
+    np.testing.assert_allclose(np.asarray(ref["t"]), np.asarray(new["t"]),
+                               rtol=1e-6, atol=1e-6)
+    iv = np.asarray(ref["in_vol"])
+    np.testing.assert_array_equal(np.asarray(ref["cell"])[iv],
+                                  np.asarray(new["cell"])[iv])
+    for c in ("nx", "ny", "nz"):
+        np.testing.assert_allclose(np.asarray(ref[c])[iv],
+                                   np.asarray(new[c])[iv],
+                                   rtol=1e-5, atol=1e-5)

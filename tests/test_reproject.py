@@ -68,3 +68,46 @@ def test_render_reproject_frame_runs_and_blends():
     # history actually integrates (changes between frames, stays bounded)
     assert not np.allclose(np.asarray(hist1), np.asarray(hist2))
     assert np.asarray(img2).max() <= 50.0
+
+
+def test_reproject_reduces_variance_vs_single_sample():
+    """VERDICT item 6 'done' criterion: a static-camera reprojected
+    sequence has lower illumination variance than independent 1-sample
+    frames (history blending integrates over time)."""
+    scene, cfg = presets.glass_sphere_box(24, 24)
+    cfg = dataclasses.replace(cfg, mode="path", max_bounces=2)
+
+    from voxtracer.render.reproject import render_reproject_frame_jit
+
+    # independent single-sample illumination estimates (no history)
+    singles = []
+    reprojected = []
+    history = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    zero = jnp.zeros_like(history)
+    for i in range(8):
+        key = jax.random.PRNGKey(100 + i)
+        _, single_hist, _ = render_reproject_frame_jit(
+            scene, cfg, scene.camera, zero, key)
+        singles.append(np.asarray(single_hist))
+        _, history, _ = render_reproject_frame_jit(scene, cfg, scene.camera,
+                                                   history, key)
+        reprojected.append(np.asarray(history))
+
+    # frame-to-frame variance over the last frames (after history warms);
+    # the YCoCg neighborhood clamp intentionally limits reuse, so the
+    # reduction is moderate, not 1/N
+    var_single = np.var(np.stack(singles[3:]), axis=0).mean()
+    var_reproj = np.var(np.stack(reprojected[3:]), axis=0).mean()
+    assert np.isfinite(var_single) and np.isfinite(var_reproj)
+    assert var_reproj < var_single * 0.9, (var_reproj, var_single)
+
+
+def test_cli_render_reproject_mode(tmp_path):
+    """--mode reproject renders a 2-frame static-camera sequence."""
+    from voxtracer.cli import main
+
+    out = tmp_path / "rp.png"
+    main(["render", "--preset", "glassbox", "--mode", "reproject",
+          "--width", "24", "--height", "24", "--frames", "2",
+          "--output", str(out)])
+    assert out.exists() and out.stat().st_size > 100

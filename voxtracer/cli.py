@@ -66,9 +66,30 @@ def cmd_render(args):
             defocus_jitter=jnp.float32(args.defocus)))
         print(f"autofocus: focal distance {focal:.3f}")
 
+    key = jax.random.PRNGKey(args.seed)
+    if cfg.mode == "reproject":
+        # static-camera temporal reuse (renderer.cpp:1997-2101): each frame
+        # reprojects against the previous frame's illumination history;
+        # output is already tonemapped by the resolve pass
+        from voxtracer.render.reproject import render_reproject_frame_jit
+
+        history = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        prev_cam = scene.camera
+        report = FrameReport(cfg.width, cfg.height)
+        for frame in range(args.frames):
+            t0 = time.time()
+            img, history, _ = render_reproject_frame_jit(
+                scene, cfg, prev_cam, history, jax.random.fold_in(key, frame))
+            np.asarray(history)
+            report.frame(time.time() - t0)
+        rgb = (np.clip(np.asarray(img), 0.0, 1.0) * 255).astype(np.uint8)
+        write_png(args.output, rgb)
+        print(f"wrote {args.output} ({cfg.width}x{cfg.height}, "
+              f"{args.frames} reprojected frames)")
+        return
+
     prog = ProgressiveState(cfg.height, cfg.width)
     report = FrameReport(cfg.width, cfg.height)
-    key = jax.random.PRNGKey(args.seed)
     for frame in range(args.frames):
         t0 = time.time()
         img = render(scene, cfg, jax.random.fold_in(key, frame), args.spp)
@@ -113,6 +134,7 @@ def cmd_play(args):
         return vol, t, point, normal
 
     moves = list(args.moves) if args.moves else ["w"] * args.steps
+    history = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     for i, mv in enumerate(moves[:args.steps]):
         in_light = None
         if args.light_kill:
@@ -121,10 +143,20 @@ def cmd_play(args):
             if scene is None or game.dirty:
                 scene = jax.tree.map(jnp.asarray,
                                      game.build_scene(cfg.width, cfg.height))
-            _, lit = render_game_frame(scene, cfg,
-                                       jax.random.fold_in(
-                                           jax.random.PRNGKey(1), i), 1)
-            in_light = bool(lit)
+            if game.state.static_camera:
+                # post-revert temporal-reuse mode (renderer.cpp:1997-2101,
+                # entered by the staticCamera trigger at :2112-2118)
+                from voxtracer.render.reproject import \
+                    render_reproject_frame_jit
+
+                _, history, _ = render_reproject_frame_jit(
+                    scene, cfg, scene.camera, history,
+                    jax.random.fold_in(jax.random.PRNGKey(1), i))
+            else:
+                _, lit = render_game_frame(scene, cfg,
+                                           jax.random.fold_in(
+                                               jax.random.PRNGKey(1), i), 1)
+                in_light = bool(lit)
         game.tick(0.1, mv, probe, in_light=in_light)
         if game.state.won:
             print("WIN")
@@ -151,7 +183,9 @@ def main(argv=None):
     r.add_argument("--preset", choices=PRESETS, default="teapot")
     r.add_argument("--width", type=int, default=0)
     r.add_argument("--height", type=int, default=0)
-    r.add_argument("--mode", choices=["primary", "whitted", "path"], default=None)
+    r.add_argument("--mode",
+                   choices=["primary", "whitted", "path", "reproject"],
+                   default=None)
     r.add_argument("--bounces", type=int, default=0)
     r.add_argument("--dof", action="store_true",
                    help="thin-lens DOF with autofocus")

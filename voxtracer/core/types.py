@@ -131,6 +131,19 @@ class VoxVolumes:
     # gather is ~3x cheaper per index than 1-D take on this hardware,
     # PERF_NOTES.md) and then steps cell-by-cell with register bit tests.
     occ: np.ndarray  # [3, V, M^3, 16] int32
+    # instance TLAS (midpoint-split BVH over world AABBs — the reference's
+    # dormant BasicBVH, renderer.h:220, made queryable): flat node arrays
+    # from scene/tlas.py.  Consumed by kernels/tlas.py's wavefront stack
+    # traversal when VOXTRACER_TLAS=1 (measured: the dense per-ray slab
+    # test beats the lockstep BVH walk below ~100 instances on this chip —
+    # see PERF_NOTES.md — so the BVH path is opt-in, correctness-verified
+    # by tests/test_tlas.py bit-identity).
+    tlas_nmin: np.ndarray = None  # [M, 3] f32
+    tlas_nmax: np.ndarray = None  # [M, 3] f32
+    tlas_left: np.ndarray = None  # [M] i32 (-1 = leaf)
+    tlas_first: np.ndarray = None  # [M] i32
+    tlas_count: np.ndarray = None  # [M] i32
+    tlas_order: np.ndarray = None  # [V] i32
 
     @property
     def n(self) -> int:

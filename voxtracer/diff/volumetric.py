@@ -32,6 +32,7 @@ from voxtracer.core.types import MAT_NONE, SceneData
 from voxtracer.render.sky import sample_sky
 
 F32 = jnp.float32
+BIG = 1e34
 
 # rematerialize the march in backward: ~2x HBM savings for ~1 extra forward
 # of compute.  At bench band sizes the stored-activation variant fits HBM;
@@ -111,10 +112,91 @@ def _ray_aabb(cube_min, o, d):
     return t0, tmax, tmax > t0
 
 
-@partial(jax.jit, static_argnames=("n_steps", "cfg", "rows", "k"))
+def _occupied_spans(scene: SceneData, vox, voy, voz, vdx, vdy, vdz):
+    """Per-pair [V, N] (s0, s1): the t-range of OCCUPIED-brick crossings
+    along each object-space ray — exact slab tests against every brick's
+    AABB, masked by the static occupancy planes (scene.volumes.occ[0]).
+
+    This is the NeRF-style occupancy-grid acceleration for the relaxed
+    march: outside [s0, s1] every cell is (statically) empty, so those
+    segments integrate against the per-BRICK mean sigma in closed
+    quadrature with a DENSE adjoint — no per-cell gather/scatter rows.
+    Spans derive from the INITIAL grids; callers optimizing density far
+    from the original surfaces should refresh scene.volumes.occ
+    periodically (standard occupancy-grid practice)."""
+    vols = scene.volumes
+    v = vols.n
+    n = vox.shape[1]
+    m3 = vols.occ.shape[2]
+    mside = round(m3 ** (1.0 / 3.0))
+    occ_any = jnp.any(vols.occ[0] != 0, axis=-1)  # [V, M3]
+    gs_f = vols.gridsize.astype(F32)  # [V]
+    cb = vols.cube_min  # [V, 3]
+
+    bidx = jnp.arange(m3, dtype=jnp.int32)
+    bxc = (bidx // (mside * mside)).astype(F32)
+    byc = ((bidx // mside) % mside).astype(F32)
+    bzc = (bidx % mside).astype(F32)
+
+    s0 = jnp.full((v, n), BIG, F32)
+    s1 = jnp.full((v, n), -BIG, F32)
+    chunk = 64
+    big = jnp.float32(BIG)
+    for vi in range(v):
+        bs = 8.0 / gs_f[vi]  # brick extent in object units
+        rdx, rdy, rdz = 1.0 / vdx[vi], 1.0 / vdy[vi], 1.0 / vdz[vi]
+        o3 = (vox[vi], voy[vi], voz[vi])
+        rd3 = (rdx, rdy, rdz)
+        lo3 = (cb[vi, 0] + bxc * bs, cb[vi, 1] + byc * bs,
+               cb[vi, 2] + bzc * bs)
+        sv0, sv1 = s0[vi], s1[vi]
+        for c0 in range(0, m3, chunk):
+            occ_c = occ_any[vi, c0:c0 + chunk]  # [C]
+            tmin = jnp.full((n, 1), -BIG, F32)
+            tmax = jnp.full((n, 1), BIG, F32)
+            for ax in range(3):
+                lo = lo3[ax][c0:c0 + chunk][None, :]  # [1, C]
+                a = (lo - o3[ax][:, None]) * rd3[ax][:, None]
+                b = a + bs * rd3[ax][:, None]
+                ta = jnp.minimum(a, b)
+                tb = jnp.maximum(a, b)
+                ta = jnp.where(jnp.isnan(ta), -big, ta)
+                tb = jnp.where(jnp.isnan(tb), big, tb)
+                tmin = jnp.maximum(tmin, ta)
+                tmax = jnp.minimum(tmax, tb)
+            tmin = jnp.maximum(tmin, 0.0)
+            hitb = (tmax >= tmin) & occ_c[None, :]
+            sv0 = jnp.minimum(sv0, jnp.min(jnp.where(hitb, tmin, big),
+                                           axis=1))
+            sv1 = jnp.maximum(sv1, jnp.max(jnp.where(hitb, tmax, -big),
+                                           axis=1))
+        s0 = s0.at[vi].set(sv0)
+        s1 = s1.at[vi].set(sv1)
+    return jax.lax.stop_gradient(s0), jax.lax.stop_gradient(s1)
+
+
+def _brick_mean_sigma(params: DiffParams, scene: SceneData,
+                      density_scale: float):
+    """[V * M^3] per-brick mean sigma — a dense reshape-reduce whose
+    adjoint is a broadcast (NO scatter).  Edge bricks of non-multiple-of-8
+    grids average a few padding cells; the bench grids are 64^3 (exact)."""
+    vols = scene.volumes
+    v = vols.n
+    g = vols.pad_size
+    mside = round(vols.occ.shape[2] ** (1.0 / 3.0))
+    g8 = mside * 8
+    sig = jax.nn.softplus(params.density_logits) * density_scale
+    if g8 != g:
+        sig = jnp.pad(sig, ((0, 0), (0, g8 - g), (0, g8 - g), (0, g8 - g)))
+    b = sig.reshape(v, mside, 8, mside, 8, mside, 8)
+    return b.mean(axis=(2, 4, 6)).reshape(-1)  # [V * M^3]
+
+
+@partial(jax.jit, static_argnames=("n_steps", "cfg", "rows", "k",
+                                   "span_steps"))
 def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 192,
                 density_scale: float = 512.0, row0=None, rows: int = 0,
-                k: int = 0):
+                k: int = 0, span_steps: int = 0):
     """Primary-visibility differentiable render -> [H, W, 3] (or
     [rows, W, 3] when a row band is given — used to bound memory at 1080p).
 
@@ -126,7 +208,16 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     k > 0 compacts pairs to the k earliest-entry volumes per ray (march
     cost — gathers AND gradient scatters — scales with pairs).  EXACT only
     when no ray crosses more than k instance AABBs; callers verify that on
-    the host (cheap slab tests) and fall back to k=0 (dense)."""
+    the host (cheap slab tests) and fall back to k=0 (dense).
+
+    span_steps > 0 enables occupancy-span tightening: the cell-level
+    n_steps march covers only the ray's occupied-brick span [s0, s1]
+    (_occupied_spans); the leading/trailing statically-empty segments
+    march span_steps samples each at BRICK granularity against the
+    per-brick mean sigma (_brick_mean_sigma, dense adjoint).  The sampled
+    rows — the gather/scatter traffic that dominates fwd+bwd (measured
+    4.4/6.9 ns per row, scripts/probe_scatter.py) — drop by the span
+    ratio at equal effective sampling density."""
     from voxtracer.render.camera import primary_rays
     from voxtracer.render.integrator import _pixel_grid
 
@@ -176,6 +267,9 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     t1 = jnp.minimum(jnp.minimum(t1x, t1y), t1z)
     hit = t1 > t0
 
+    if span_steps:
+        s0_all, s1_all = _occupied_spans(scene, vox, voy, voz, vdx, vdy, vdz)
+
     # Each pair marches its OWN [t0, t1] interval (n_steps samples per
     # volume crossing, not per union span): 6-10x finer effective sampling
     # for the same gather/scatter traffic, and rays wasting steps in the
@@ -191,9 +285,16 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
         # pair compaction: keep the k earliest-entry volumes per ray
         key_t = jnp.where(hit & ~jnp.isnan(t0), t0, 1e30)
         ids = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[:, None], (v, n))
-        key_s, t1_s, hit_s, vid = jax.lax.sort(
-            (key_t, jnp.where(hit, t1, 0.0), hit, ids), dimension=0,
-            num_keys=1)
+        if span_steps:
+            key_s, t1_s, hit_s, s0_s, s1_s, vid = jax.lax.sort(
+                (key_t, jnp.where(hit, t1, 0.0), hit, s0_all, s1_all, ids),
+                dimension=0, num_keys=1)
+            s0_all = s0_s[:k]
+            s1_all = s1_s[:k]
+        else:
+            key_s, t1_s, hit_s, vid = jax.lax.sort(
+                (key_t, jnp.where(hit, t1, 0.0), hit, ids), dimension=0,
+                num_keys=1)
         t0 = key_s[:k]
         t1 = t1_s[:k]
         hit = hit_s[:k]
@@ -217,13 +318,26 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
         vdy = iv[4] * dx + iv[5] * dy + iv[6] * dz
         vdz = iv[8] * dx + iv[9] * dy + iv[10] * dz
         vbase = vid * (g * g * g)
+        vol_ids = vid
         v_eff = k
     else:
         vbase = (jnp.arange(v, dtype=jnp.int32) * g * g * g)[:, None]
+        vol_ids = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[:, None],
+                                   (v, n))
         v_eff = v
 
     t0p = jnp.where(hit, t0, 0.0)  # [v_eff, N]
     dt = jnp.where(hit, (t1 - t0) / n_steps, 0.0)  # [v_eff, N]
+    if span_steps:
+        # clamp the occupied span into the pair interval; pairs with no
+        # occupied crossing collapse the core and tail to zero length
+        s0c = jnp.clip(s0_all, t0, t1)
+        s1c = jnp.clip(s1_all, s0c, t1)
+        no_occ = s0_all > 1e33
+        s0c = jnp.where(no_occ, t1, s0c)
+        s1c = jnp.where(no_occ, t1, s1c)
+        t0p = jnp.where(hit, s0c, 0.0)
+        dt = jnp.where(hit, (s1c - s0c) / n_steps, 0.0)
     dens_flat = (jax.nn.softplus(params.density_logits).reshape(-1)
                  * density_scale)  # [V * G^3]
     # fuse per-cell fetches into ONE 2-D row gather: a [T, 2] row costs
@@ -263,8 +377,51 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     init = (jnp.ones((v_eff, n), F32), jnp.zeros((v_eff, n), F32),
             jnp.zeros((v_eff, n), F32), jnp.zeros((v_eff, n), F32))
     step_fn = jax.checkpoint(step) if _REMAT else step
-    (trans, cr, cg_, cb_), _ = jax.lax.scan(
-        step_fn, init, jnp.arange(n_steps, dtype=F32))
+
+    if span_steps:
+        # lead/tail: statically-empty segments marched at BRICK granularity
+        # against the per-brick mean sigma (dense adjoint, no cell rows)
+        m3 = scene.volumes.occ.shape[2]
+        msp = round(m3 ** (1.0 / 3.0))
+        bsig = _brick_mean_sigma(params, scene, density_scale)
+        alb_none = alb_tab[MAT_NONE]  # empty bricks carry no material
+
+        def brick_step(t_start, dtp):
+            def bstep(carry, ki):
+                trans, cr, cg_, cb_ = carry
+                t_mid = t_start + (ki + 0.5) * dtp
+                lx = (vox + t_mid * vdx - bx) * gs_f
+                ly = (voy + t_mid * vdy - by) * gs_f
+                lz = (voz + t_mid * vdz - bz) * gs_f
+                ms_i = (gs_i + 7) // 8
+                ibx = jnp.clip((lx * 0.125).astype(jnp.int32), 0, ms_i - 1)
+                iby = jnp.clip((ly * 0.125).astype(jnp.int32), 0, ms_i - 1)
+                ibz = jnp.clip((lz * 0.125).astype(jnp.int32), 0, ms_i - 1)
+                inside = ((lx >= 0.0) & (lx < gs_f) & (ly >= 0.0)
+                          & (ly < gs_f) & (lz >= 0.0) & (lz < gs_f))
+                flat_b = vol_ids * m3 + (ibx * msp + iby) * msp + ibz
+                sb = jnp.where(inside, jnp.take(bsig, flat_b, mode="clip"),
+                               0.0)
+                alpha = 1.0 - jnp.exp(-sb * dtp)
+                wgt = trans * alpha
+                cr = cr + wgt * alb_none[0]
+                cg_ = cg_ + wgt * alb_none[1]
+                cb_ = cb_ + wgt * alb_none[2]
+                return (trans * (1.0 - alpha), cr, cg_, cb_), None
+            return jax.checkpoint(bstep) if _REMAT else bstep
+
+        dt_lead = jnp.where(hit, (s0c - t0) / span_steps, 0.0)
+        dt_tail = jnp.where(hit, (t1 - s1c) / span_steps, 0.0)
+        carry, _ = jax.lax.scan(brick_step(t0, dt_lead), init,
+                                jnp.arange(span_steps, dtype=F32))
+        carry, _ = jax.lax.scan(step_fn, carry,
+                                jnp.arange(n_steps, dtype=F32))
+        (trans, cr, cg_, cb_), _ = jax.lax.scan(
+            brick_step(s1c, dt_tail), carry,
+            jnp.arange(span_steps, dtype=F32))
+    else:
+        (trans, cr, cg_, cb_), _ = jax.lax.scan(
+            step_fn, init, jnp.arange(n_steps, dtype=F32))
 
     # composite per-pair segments front-to-back by entry t (no sort: the
     # prefix transmittance of segment v is the product over segments that
@@ -291,14 +448,16 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
 
 
 def mse_loss(params: DiffParams, scene: SceneData, cfg, target, key,
-             n_steps: int = 192, row0=None, rows: int = 0, k: int = 0):
+             n_steps: int = 192, row0=None, rows: int = 0, k: int = 0,
+             span_steps: int = 0):
     img = render_diff(params, scene, cfg, key, n_steps, row0=row0, rows=rows,
-                      k=k)
+                      k=k, span_steps=span_steps)
     return jnp.mean((img - target) ** 2)
 
 
 grad_fn = jax.jit(jax.grad(mse_loss),
-                  static_argnames=("cfg", "n_steps", "rows", "k"))
+                  static_argnames=("cfg", "n_steps", "rows", "k",
+                                   "span_steps"))
 
 
 def max_aabb_crossings(scene: SceneData, cfg, row0: int = 0,

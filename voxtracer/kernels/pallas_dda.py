@@ -416,6 +416,316 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
     return kernel
 
 
+# --------------------------------------------------------------------------
+# The material-exit kernel (FindMaterialExit / FindSmokeExit,
+# scene.cpp:875-1006): march THROUGH the ray's own medium until a
+# leave-predicate cell (occ planes OCC_EXIT_*) or the grid boundary.
+# One fixed volume per lane -> object ray + DDA setup hoist out of the loop.
+# --------------------------------------------------------------------------
+
+def _make_exit_kernel(v: int, b: int, side: int, mside: int, m3: int,
+                      nb_occ: int, nb_bm: int, inner: int, max_outer: int):
+    g3 = side ** 3
+
+    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
+               vol_ref_in, pln_ref, vtab_ref, occw_ref, bm_ref,
+               iv_ref, t_ref, gidx_ref, nx_ref, ny_ref, nz_ref):
+        shape = (b, 128)
+        wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
+        wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
+        ray_act = act_ref[0] != 0
+        vol = jnp.clip(vol_ref_in[0], 0, v - 1)
+        plane_sel = pln_ref[0]  # 0 = glass plane, 1 = smoke plane
+        vtab = [vtab_ref[c] for c in range(26)]
+        occ_rows = [[occw_ref[w, k] for k in range(nb_occ)]
+                    for w in range(16)]
+        bm_rows = [bm_ref[0, k] for k in range(nb_bm)]
+
+        def vconst(c, volx):
+            return _g128(vtab[c], volx)
+
+        # object-space ray + setups (hoisted: one volume per lane)
+        iv = [vconst(c, vol) for c in range(12)]
+        bx, by, bz = vconst(21, vol), vconst(22, vol), vconst(23, vol)
+        gs_f, ms_f = vconst(24, vol), vconst(25, vol)
+        rox = iv[0] * wox + iv[1] * woy + iv[2] * woz + iv[3]
+        roy = iv[4] * wox + iv[5] * woy + iv[6] * woz + iv[7]
+        roz = iv[8] * wox + iv[9] * woy + iv[10] * woz + iv[11]
+        rdx = iv[0] * wdx + iv[1] * wdy + iv[2] * wdz
+        rdy = iv[4] * wdx + iv[5] * wdy + iv[6] * wdz
+        rdz = iv[8] * wdx + iv[9] * wdy + iv[10] * wdz
+        r = dict(ox=rox, oy=roy, oz=roz, dx=rdx, dy=rdy, dz=rdz,
+                 rdx=1.0 / rdx, rdy=1.0 / rdy, rdz=1.0 / rdz,
+                 sx=jnp.signbit(rdx).astype(F32),
+                 sy=jnp.signbit(rdy).astype(F32),
+                 sz=jnp.signbit(rdz).astype(F32))
+        gs_i = gs_f.astype(I32)
+        ms_i = ms_f.astype(I32)
+        sm = _setup(r, bx, by, bz, ms_f, ms_i)
+        s_f = _setup(r, bx, by, bz, gs_f, gs_i)
+        valid = sm["valid"]
+        t0 = sm["t0"]
+        row_base = plane_sel * (v * m3) + vol * m3
+        cellw = 1.0 / gs_f
+
+        zf = jnp.zeros(shape, F32)
+        zi = jnp.zeros(shape, I32)
+        state = dict(
+            walking=(ray_act & valid).astype(I32), level=zi,
+            in_vol=zi, gidx=zi,
+            t=t0, t_out=jnp.where(valid, t0, 0.0),
+            px=zi, py=zi, pz=zi, tmx=zf, tmy=zf, tmz=zf,
+            mpx=sm["px"], mpy=sm["py"], mpz=sm["pz"],
+            mtmx=sm["tmx"], mtmy=sm["tmy"], mtmz=sm["tmz"],
+            outer=jnp.int32(0),
+        )
+        state.update({f"w{j}": zi for j in range(16)})
+
+        def fine_init_axis(oc, dc, rdc, sc, b0, t):
+            pos = gs_f * ((oc - b0) + (t + 5e-5) * dc)
+            pln = (jnp.ceil(pos) - sc) * cellw
+            p = jnp.clip(pos.astype(I32), 0, gs_i - 1)
+            tm = (pln - (oc - b0)) * rdc
+            return p, tm
+
+        def body(st):
+            st = dict(st)
+            walking = st["walking"] != 0
+            level = st["level"] != 0
+
+            # ---- brick-mask test
+            at_m = walking & ~level
+            midx = (st["mpx"] * mside + st["mpy"]) * mside + st["mpz"]
+            grow = row_base + midx
+            bmw = _gchain(bm_rows, grow >> 5, nb_bm)
+            occ_bit = (jnp.right_shift(bmw, grow & 31) & 1) == 1
+            descend = at_m & occ_bit
+            skip = at_m & ~occ_bit
+
+            # ---- descend: fetch + seed fine
+            words = []
+            for j in range(16):
+                wj = _gchain(occ_rows[j], grow, nb_occ)
+                wj = jnp.where(descend, wj, st[f"w{j}"])
+                st[f"w{j}"] = wj
+                words.append(wj)
+            fpx, ftmx = fine_init_axis(r["ox"], r["dx"], r["rdx"], r["sx"],
+                                       bx, st["t"])
+            fpy, ftmy = fine_init_axis(r["oy"], r["dy"], r["rdy"], r["sy"],
+                                       by, st["t"])
+            fpz, ftmz = fine_init_axis(r["oz"], r["dz"], r["rdz"], r["sz"],
+                                       bz, st["t"])
+            blox = st["mpx"] * BRICK
+            bloy = st["mpy"] * BRICK
+            bloz = st["mpz"] * BRICK
+            fpx = jnp.clip(fpx, blox, jnp.minimum(blox + BRICK - 1, gs_i - 1))
+            fpy = jnp.clip(fpy, bloy, jnp.minimum(bloy + BRICK - 1, gs_i - 1))
+            fpz = jnp.clip(fpz, bloz, jnp.minimum(bloz + BRICK - 1, gs_i - 1))
+            px = jnp.where(descend, fpx, st["px"])
+            py = jnp.where(descend, fpy, st["py"])
+            pz = jnp.where(descend, fpz, st["pz"])
+            tmx = jnp.where(descend, ftmx, st["tmx"])
+            tmy = jnp.where(descend, ftmy, st["tmy"])
+            tmz = jnp.where(descend, ftmz, st["tmz"])
+
+            # ---- fine steps: leave at the first set bit (material exit)
+            act_f = walking & (level | descend)
+            t = st["t"]
+            t_out = st["t_out"]
+            in_vol = st["in_vol"] != 0
+            gidx = st["gidx"]
+            go_macro = jnp.zeros(shape, bool)
+            for _ in range(inner):
+                bidx = ((px - blox) * 8 + (py - bloy)) * 8 + (pz - bloz)
+                word = _tree16(words, bidx >> 5)
+                bit = (jnp.right_shift(word, bidx & 31) & 1) == 1
+                pred = act_f & bit
+                in_vol = in_vol | pred
+                t_out = jnp.where(pred, t, t_out)
+                gidx = jnp.where(
+                    pred, vol * g3 + (px * side + py) * side + pz, gidx)
+                act_f = act_f & ~pred
+
+                first = tmx < tmy
+                use_x = first & (tmx < tmz)
+                use_y = (~first) & (tmy < tmz)
+                use_z = ~(use_x | use_y)
+                t_new = jnp.where(use_x, tmx, jnp.where(use_y, tmy, tmz))
+                px = px + jnp.where(act_f & use_x, sm["stx"], 0)
+                py = py + jnp.where(act_f & use_y, sm["sty"], 0)
+                pz = pz + jnp.where(act_f & use_z, sm["stz"], 0)
+                moved = jnp.where(use_x, px, jnp.where(use_y, py, pz))
+                out_grid = (moved < 0) | (moved >= gs_i)
+                blo = jnp.where(use_x, blox, jnp.where(use_y, bloy, bloz))
+                out_brick = (moved < blo) | (moved >= blo + BRICK)
+                tmx = tmx + jnp.where(act_f & use_x, s_f["tdx"], 0.0)
+                tmy = tmy + jnp.where(act_f & use_y, s_f["tdy"], 0.0)
+                tmz = tmz + jnp.where(act_f & use_z, s_f["tdz"], 0.0)
+                t = jnp.where(act_f, t_new, t)
+                t_out = jnp.where(act_f & out_grid, t_new, t_out)
+                leave = act_f & out_brick & ~out_grid
+                go_macro = go_macro | leave
+                act_f = act_f & ~out_grid & ~out_brick
+
+            was_fine = level | descend
+            st["px"], st["py"], st["pz"] = px, py, pz
+            st["tmx"], st["tmy"], st["tmz"] = tmx, tmy, tmz
+            level = was_fine & act_f
+
+            # ---- macro advance
+            do_m = skip | go_macro
+            mtmx, mtmy, mtmz = st["mtmx"], st["mtmy"], st["mtmz"]
+            first = mtmx < mtmy
+            mx = first & (mtmx < mtmz)
+            my = (~first) & (mtmy < mtmz)
+            mz = ~(mx | my)
+            mt_new = jnp.where(mx, mtmx, jnp.where(my, mtmy, mtmz))
+            st["mpx"] = st["mpx"] + jnp.where(do_m & mx, sm["stx"], 0)
+            st["mpy"] = st["mpy"] + jnp.where(do_m & my, sm["sty"], 0)
+            st["mpz"] = st["mpz"] + jnp.where(do_m & mz, sm["stz"], 0)
+            mmoved = jnp.where(mx, st["mpx"], jnp.where(my, st["mpy"],
+                                                        st["mpz"]))
+            m_out = (mmoved < 0) | (mmoved >= ms_i)
+            st["mtmx"] = mtmx + jnp.where(do_m & mx, sm["tdx"], 0.0)
+            st["mtmy"] = mtmy + jnp.where(do_m & my, sm["tdy"], 0.0)
+            st["mtmz"] = mtmz + jnp.where(do_m & mz, sm["tdz"], 0.0)
+            t = jnp.where(do_m, mt_new, t)
+            t_out = jnp.where(do_m & m_out, mt_new, t_out)
+            st["t"] = t
+            st["t_out"] = t_out
+
+            fine_ended = was_fine & ~act_f & ~go_macro
+            macro_end = do_m & m_out
+            walking = walking & ~fine_ended & ~macro_end
+            st["walking"] = walking.astype(I32)
+            st["level"] = level.astype(I32)
+            st["in_vol"] = in_vol.astype(I32)
+            st["gidx"] = gidx
+            st["outer"] = st["outer"] + 1
+            return st
+
+        def cond(st):
+            return jnp.any(st["walking"] != 0) & (st["outer"] < max_outer)
+
+        st = jax.lax.while_loop(cond, body, state)
+
+        # normals at t_out (GetNormalVoxel) — r is already per-lane
+        t = st["t_out"]
+
+        def frac(o, dc):
+            i1 = (o + t * dc) * gs_f
+            fg = i1 - jnp.floor(i1)
+            return jnp.minimum(fg, 1.0 - fg)
+
+        ddx, ddy, ddz = frac(rox, rdx), frac(roy, rdy), frac(roz, rdz)
+        mind = jnp.minimum(ddx, jnp.minimum(ddy, ddz))
+        nx = jnp.where(ddx == mind, r["sx"] * 2.0 - 1.0, 0.0)
+        ny = jnp.where(ddy == mind, r["sy"] * 2.0 - 1.0, 0.0)
+        nz = jnp.where(ddz == mind, r["sz"] * 2.0 - 1.0, 0.0)
+        fw = [vconst(12 + c, vol) for c in range(9)]
+        wx = fw[0] * nx + fw[1] * ny + fw[2] * nz
+        wy = fw[3] * nx + fw[4] * ny + fw[5] * nz
+        wz = fw[6] * nx + fw[7] * ny + fw[8] * nz
+        inv_len = jax.lax.rsqrt(jnp.maximum(wx * wx + wy * wy + wz * wz,
+                                            1e-20))
+        ivm = st["in_vol"] != 0
+        iv_ref[0] = st["in_vol"]
+        t_ref[0] = st["t_out"]
+        gidx_ref[0] = st["gidx"]
+        nx_ref[0] = jnp.where(ivm, wx * inv_len, 0.0)
+        ny_ref[0] = jnp.where(ivm, wy * inv_len, 0.0)
+        nz_ref[0] = jnp.where(ivm, wz * inv_len, 0.0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("max_outer", "inner", "block_rows",
+                                   "interpret"))
+def exit_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d,
+                ray_active, mode_code, vol_match, occ, bricksize,
+                max_outer=4096, inner=INNER, block_rows=16, interpret=None):
+    """Pallas material-exit march, drop-in for dda_occ.traverse_occ
+    mode="exit".  Returns dict(in_vol, t, cell, nx, ny, nz)."""
+    from voxtracer.kernels.dda import EXIT_SMOKE
+
+    if interpret is None:
+        interpret = not _on_tpu()
+    v = gridsize.shape[0]
+    n = o.shape[0]
+    g3 = grids_flat.shape[0] // v
+    side = round(g3 ** (1.0 / 3.0))
+    m3 = occ.shape[2]
+    mside = round(m3 ** (1.0 / 3.0))
+
+    # stack BOTH exit planes: rows [2*V*M3, 16], glass first
+    occ2 = jnp.concatenate([occ[1], occ[2]], axis=0).reshape(2 * v * m3, 16)
+    rows = _pad_to(occ2, 128, axis=0)
+    nb_occ = rows.shape[0] // 128
+    occw = rows.T.reshape(16, nb_occ, 128)
+    nz = jnp.any(occ2 != 0, axis=1).astype(jnp.int32)
+    nz = _pad_to(nz, 32 * 128, axis=0)
+    shifts = jnp.left_shift(nz.reshape(-1, 32),
+                            jnp.arange(32, dtype=jnp.int32)[None, :])
+    bmw = _pad_to(shifts.sum(axis=1).astype(jnp.int32), 128, axis=0)
+    nb_bm = bmw.shape[0] // 128
+    bm = bmw.reshape(1, nb_bm, 128)
+
+    vtab = jnp.concatenate([
+        inv[:, :3, :].reshape(v, 12),
+        fwd[:, :3, :3].reshape(v, 9),
+        cube_min,
+        gridsize.astype(F32)[:, None],
+        bricksize.astype(F32)[:, None],
+    ], axis=1).T
+    vtab = _pad_to(vtab, 128, axis=1)
+
+    blk = block_rows * 128
+    npad = -(-n // blk) * blk
+    nblk = npad // blk
+
+    def rays2d(x, fill=0):
+        return _pad_to(x, blk, axis=0, fill=fill).reshape(nblk, block_rows,
+                                                          128)
+
+    plane_sel = (mode_code == EXIT_SMOKE).astype(I32)
+    ins = [rays2d(o[:, 0]), rays2d(o[:, 1]), rays2d(o[:, 2]),
+           rays2d(d[:, 0]), rays2d(d[:, 1]), rays2d(d[:, 2]),
+           rays2d(ray_active.astype(I32)), rays2d(vol_match),
+           rays2d(plane_sel), vtab, occw, bm]
+
+    ray_spec = pl.BlockSpec((1, block_rows, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def full(x):
+        nd = x.ndim
+        return pl.BlockSpec(x.shape, lambda i: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    kernel = _make_exit_kernel(v, block_rows, side, mside, m3, nb_occ,
+                               nb_bm, inner, max_outer)
+    out_shapes = [jax.ShapeDtypeStruct((nblk, block_rows, 128), dt)
+                  for dt in (I32, F32, I32, F32, F32, F32)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[ray_spec] * 9 + [full(vtab), full(occw), full(bm)],
+        out_specs=[ray_spec] * 6,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*ins)
+
+    iv, t, gidx, nx, ny, nz = [x.reshape(npad)[:n] for x in outs]
+    sg = jax.lax.stop_gradient
+    in_v = iv != 0
+    cell = jnp.take(grids_flat, gidx, mode="clip")
+    return dict(
+        in_vol=sg(in_v),
+        t=sg(t),
+        cell=sg(jnp.where(in_v, cell, MAT_NONE)),
+        nx=sg(nx), ny=sg(ny), nz=sg(nz),
+    )
+
+
 def _pad_to(x, m, axis=0, fill=0):
     pad = (-x.shape[axis]) % m
     if pad == 0:
@@ -461,9 +771,12 @@ def _prep_tables(gridsize, inv, fwd, cube_min, occ, bricksize, plane):
 def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                     ray_active, vol_enabled, occ, bricksize,
                     mode="nearest", max_outer=4096, inner=INNER,
-                    block_rows=16, interpret=None):
+                    block_rows=16, interpret=None, cand_mask=None):
     """Pallas traversal, drop-in for dda_occ.traverse_occ_topk
-    (modes nearest / occluded).  Returns the same per-ray dicts."""
+    (modes nearest / occluded).  Returns the same per-ray dicts.
+
+    cand_mask: optional [V, N] bool of possibly-hit pairs (e.g. from the
+    TLAS BVH walk, kernels/tlas.py) — pruned pairs never traverse."""
     assert mode in ("nearest", "occluded")
     if interpret is None:
         interpret = not _on_tpu()
@@ -481,6 +794,8 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
     # exact entry-t ties — the earliest-volume tie-break needs it)
     t0_all = _entry_t(inv, cube_min, o, d)  # [V, N]
     t0_all = jnp.where(vol_enabled[:, None], t0_all, BIG)
+    if cand_mask is not None:
+        t0_all = jnp.where(cand_mask, t0_all, BIG)
     t0_all = jnp.where(jnp.isnan(t0_all), BIG, t0_all)
     ids = jnp.broadcast_to(jnp.arange(v, dtype=I32)[:, None], (v, n))
     t0_sorted, id_sorted = jax.lax.sort((t0_all, ids), dimension=0,

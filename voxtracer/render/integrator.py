@@ -167,6 +167,41 @@ def _topk(scene: SceneData) -> int:
     return v if v <= 2 else (2 if v <= 8 else 4)
 
 
+def _tlas_candidates(scene: SceneData, o3, d3):
+    """Per-ray possibly-hit instance mask [V, N] from the TLAS BVH walk
+    (kernels/tlas.py) — the reference's dormant BasicBVH (renderer.h:220)
+    queried for real.  Opt-in via VOXTRACER_TLAS=1: on this chip the dense
+    per-ray slab test + entry sort beats the lockstep BVH walk below ~100
+    instances (PERF_NOTES.md), so the default stays dense; results are
+    bit-identical either way (tests/test_tlas.py)."""
+    import os
+
+    v = scene.volumes
+    if os.environ.get("VOXTRACER_TLAS") != "1" or v.tlas_nmin is None:
+        return None
+    from voxtracer.kernels.tlas import bvh_candidates
+
+    return bvh_candidates(v.tlas_nmin, v.tlas_nmax, v.tlas_left,
+                          v.tlas_first, v.tlas_count, v.tlas_order,
+                          o3, d3, v.n)
+
+
+def _use_pallas(scene: SceneData) -> bool:
+    """Route traversal through the Pallas VMEM kernel on TPU (measured
+    13-20x vs the XLA path, scripts/bench_traversal.py); the XLA kernels
+    remain the CPU/simulated-mesh path and the parity oracle.  Override
+    with VOXTRACER_PALLAS=0/1."""
+    import os
+
+    env = os.environ.get("VOXTRACER_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "")
+    import jax as _jax
+
+    return (_jax.devices()[0].platform == "tpu"
+            and scene.volumes.n <= 64)
+
+
 def find_nearest_world(scene: SceneData, o, d, active,
                        skip_lo=1, skip_hi=0, skip_first=False):
     """Renderer::FindNearest (renderer.cpp:946-1018) — all instances in ONE
@@ -184,7 +219,13 @@ def find_nearest_world(scene: SceneData, o, d, active,
     # kernel only for dynamic material skip ranges (game probes)
     no_skip = (isinstance(skip_lo, int) and isinstance(skip_hi, int)
                and skip_lo > skip_hi)
-    if no_skip:
+    if no_skip and _use_pallas(scene):
+        from voxtracer.kernels.pallas_dda import traverse_pallas
+
+        res = traverse_pallas(*_vol_args(scene), o3, d3,
+                              jnp.full(n, BIG, F32), active, vol_enabled,
+                              **_occ_args(scene), mode="nearest")
+    elif no_skip:
         res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3,
                                         jnp.full(n, BIG, F32), active,
                                         vol_enabled, **_occ_args(scene),
@@ -226,10 +267,18 @@ def is_occluded_world(scene: SceneData, o, d, t_limit, active):
     """Renderer::IsOccluded (renderer.cpp:209-243) — one fused pass."""
     o3 = o if not isinstance(o, tuple) else cstack(o)
     d3 = d if not isinstance(d, tuple) else cstack(d)
-    res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3, t_limit,
-                                    active, jnp.ones(scene.volumes.n, bool),
-                                    **_occ_args(scene), mode="occluded",
-                                    k=_topk(scene))
+    if _use_pallas(scene):
+        from voxtracer.kernels.pallas_dda import traverse_pallas
+
+        res = traverse_pallas(*_vol_args(scene), o3, d3, t_limit, active,
+                              jnp.ones(scene.volumes.n, bool),
+                              **_occ_args(scene), mode="occluded")
+    else:
+        res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3, t_limit,
+                                        active,
+                                        jnp.ones(scene.volumes.n, bool),
+                                        **_occ_args(scene), mode="occluded",
+                                        k=_topk(scene))
     occ = res["hit"]
     occ = occ | spheres_occluded(scene.spheres, o3, d3, t_limit)
     occ = occ | triangles_occluded(scene.triangles, o3, d3, t_limit)
@@ -243,11 +292,17 @@ def material_exit_world(scene: SceneData, o, d, vol_idx, mode_code, mask):
     o3 = o if not isinstance(o, tuple) else cstack(o)
     d3 = d if not isinstance(d, tuple) else cstack(d)
     n = o3.shape[0]
-    res = dda_occ.traverse_occ(*_vol_args(scene), o3, d3,
-                               jnp.full(n, BIG, F32), mask,
-                               jnp.ones(scene.volumes.n, bool),
-                               **_occ_args(scene), mode="exit",
-                               mode_code=mode_code, vol_match=vol_idx)
+    if _use_pallas(scene):
+        from voxtracer.kernels.pallas_dda import exit_pallas
+
+        res = exit_pallas(*_vol_args(scene), o3, d3, mask, mode_code,
+                          vol_idx, **_occ_args(scene))
+    else:
+        res = dda_occ.traverse_occ(*_vol_args(scene), o3, d3,
+                                   jnp.full(n, BIG, F32), mask,
+                                   jnp.ones(scene.volumes.n, bool),
+                                   **_occ_args(scene), mode="exit",
+                                   mode_code=mode_code, vol_match=vol_idx)
     return res["in_vol"], res["t"], (res["nx"], res["ny"], res["nz"])
 
 

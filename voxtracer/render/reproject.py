@@ -370,3 +370,8 @@ def render_reproject_frame(scene: SceneData, cfg: RenderConfig,
     img, new_hist = resolve(scene, cfg, prev_camera, albedo, illum, p0, m0,
                             hit_mask, history)
     return img, new_hist, dict(p0=p0, n0=n0, t0=t0, m0=m0)
+
+
+# jitted entry for surfaces (CLI --mode reproject, game static-camera branch)
+render_reproject_frame_jit = jax.jit(render_reproject_frame,
+                                     static_argnames=("cfg",))

@@ -126,7 +126,7 @@ def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVo
         f, iv = volume_transforms(s.position, s.scale, s.rotation, s.rot_mat4)
         fwd[i], inv[i] = f, iv
         cube_min[i] = np.asarray(s.position, np.float32)
-    return VoxVolumes(
+    vols = VoxVolumes(
         grids=grids.astype(np.int32),
         gridsize=gridsize,
         inv=inv,
@@ -136,6 +136,15 @@ def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVo
         bricksize=bricksize,
         occ=build_occupancy(grids),
     )
+    # instance TLAS over world AABBs (host build, device traversal)
+    from voxtracer.scene.tlas import build_tlas, instance_world_aabbs
+
+    lo, hi = instance_world_aabbs(vols)
+    bvh = build_tlas(lo, hi)
+    return vols.replace(
+        tlas_nmin=bvh["nmin"], tlas_nmax=bvh["nmax"], tlas_left=bvh["left"],
+        tlas_first=bvh["first"], tlas_count=bvh["count"],
+        tlas_order=bvh["order"].astype(np.int32))
 
 
 def make_spheres(items=()) -> Spheres:
