@@ -95,3 +95,18 @@ for (steps, span, tiles) in ((48, 0, 4), (24, 4, 4), (16, 4, 4),
     except Exception as e:
         print(f"steps={steps} span={span} failed:",
               type(e).__name__, str(e)[:160])
+
+# ---- union-span march (round-2 final form)
+for (steps, span, tiles) in ((16, 2, 1), (20, 2, 1), (24, 2, 1),
+                             (16, 2, 2), (12, 2, 1)):
+    r2 = -(-H // tiles)
+    tgt2 = jnp.zeros((r2, W, 3), jnp.float32)
+    g2 = jax.jit(jax.grad(lambda p, s=steps, sp=span, r=r2, t=tgt2:
+                          V.mse_loss(p, scene, cfg, t, None, s,
+                                     row0=jnp.float32(0), rows=r,
+                                     k=k, span_steps=sp)))
+    try:
+        timed(f"grad UNION steps={steps} span={span} tiles={tiles}",
+              g2, params)
+    except Exception as e:
+        print(f"union steps={steps} failed:", type(e).__name__, str(e)[:160])

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Record the scaling artifact (VERDICT item 8) -> SCALING_r02.json.
+
+Two curves:
+  * simulated-mesh device scaling (8 virtual CPU devices) — validates the
+    sharded-render machinery and records the (CPU-bound) curve honestly;
+  * real-chip work scaling (one TPU): rays/s vs spp and vs resolution —
+    the per-chip batch-amortization curve (multi-chip hardware is not
+    reachable from this environment; the >=85% ICI target is therefore
+    validated in machinery, not measured — stated in BASELINE.md).
+
+Run the CPU part:  JAX_PLATFORMS=cpu python scripts/record_scaling.py cpu
+Run the TPU part:  python scripts/record_scaling.py tpu
+Each merges its section into SCALING_r02.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "SCALING_r02.json")
+
+
+def merge(section, data):
+    cur = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            cur = json.load(f)
+    cur[section] = data
+    with open(OUT, "w") as f:
+        json.dump(cur, f, indent=1)
+    print(f"wrote {section} -> {OUT}")
+
+
+def cpu_part():
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from voxtracer.bench.scaling import measure
+
+    res = measure(width=128, height=72, spp=1)
+    merge("simulated_mesh_cpu", dict(
+        note="8 virtual CPU devices (machinery validation; CPU-bound)",
+        curve=res))
+
+
+def tpu_part():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from voxtracer.render.integrator import render_tiled
+    from voxtracer.scene.presets import monu_path
+
+    def pull(x):
+        return np.asarray(x).ravel()[0]
+
+    curve = []
+    for (w, h, spp) in ((960, 540, 1), (1920, 1080, 1), (1920, 1080, 2),
+                        (1920, 1080, 4)):
+        scene, cfg = monu_path(width=w, height=h, gridsize=64,
+                               which=(1, 2, 3), bounces=4)
+        scene = jax.tree.map(jnp.asarray, scene)
+        key = jax.random.PRNGKey(0)
+        img = render_tiled(scene, cfg, key, spp, 1)
+        ts = []
+        for i in range(3):
+            t0 = time.time()
+            img = render_tiled(scene, cfg, jax.random.fold_in(key, i),
+                               spp, 1)
+            ts.append(time.time() - t0)
+        dt = float(np.median(ts))
+        rays = w * h * spp / dt
+        curve.append(dict(width=w, height=h, spp=spp, seconds=round(dt, 4),
+                          rays_s=round(rays, 1)))
+        print(json.dumps(curve[-1]), file=sys.stderr, flush=True)
+    base = curve[0]["rays_s"] / (curve[0]["width"] * curve[0]["height"]
+                                 * curve[0]["spp"])
+    for c in curve:
+        work = c["width"] * c["height"] * c["spp"]
+        c["efficiency_vs_smallest"] = round(
+            c["rays_s"] / work / base, 3)
+    merge("real_chip_work_scaling", dict(
+        note="one TPU v5e via tunnel; rays/s vs work per dispatch "
+             "(monu path 4 bounces)",
+        curve=curve))
+
+
+if __name__ == "__main__":
+    part = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+    (cpu_part if part == "cpu" else tpu_part)()

@@ -37,13 +37,16 @@ class RenderConfig:
     # path mode wavefront compaction: between bounces, partition surviving
     # rays to a prefix (stable cumsum partition) and trace fixed-width
     # chunks of n // compact_chunks in a nested while_loop — terminated
-    # rays stop paying lockstep traversal cost (survival at 1080p monu is
-    # 100/61/28/21/18% per bounce, scripts/probe_active.py).  Only applied
-    # when the ray batch is >= compact_min and divisible by compact_chunks;
-    # sharded multi-device renders should keep compact_min above their
-    # per-render ray count (the partition would otherwise emit cross-device
-    # collectives).
-    compact_chunks: int = 4
+    # rays stop paying lockstep traversal cost.  DEFAULT OFF since round 2:
+    # the Pallas traversal early-exits per 2048-ray block on its own, and
+    # the compaction permutation costs more than it saves (measured 876 vs
+    # 511 ms at 1080p monu, scripts/profile_frame.py).  Retained for the
+    # XLA traversal path (CPU / >64-volume scenes), where it still wins.
+    # Only applied when the ray batch is >= compact_min and divisible by
+    # compact_chunks; sharded multi-device renders should keep compact_min
+    # above their per-render ray count (the partition would otherwise emit
+    # cross-device collectives).
+    compact_chunks: int = 1
     compact_min: int = 65536
     # game light-kill detection (renderer.cpp:1437-1450): when a path-mode
     # ray shades a SMOKE_PLAYER cell, evaluate direct illumination at the

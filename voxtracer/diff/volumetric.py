@@ -379,27 +379,79 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     step_fn = jax.checkpoint(step) if _REMAT else step
 
     if span_steps:
-        # lead/tail: statically-empty segments marched at BRICK granularity
-        # against the per-brick mean sigma (dense adjoint, no cell rows)
+        # ---- UNION-SPAN march: ONE cell-level march per RAY over the
+        # union of its pairs' occupied spans — halves the sampled rows vs
+        # per-pair marching at k=2 AND makes cross-volume compositing
+        # front-to-back EXACT (the per-pair path approximates overlap
+        # interleaving by entry order).  The statically-empty lead/tail
+        # segments of each pair march span_steps samples at BRICK
+        # granularity against the per-brick mean sigma (dense adjoint).
         m3 = scene.volumes.occ.shape[2]
         msp = round(m3 ** (1.0 / 3.0))
         bsig = _brick_mean_sigma(params, scene, density_scale)
         alb_none = alb_tab[MAT_NONE]  # empty bricks carry no material
 
-        def brick_step(t_start, dtp):
+        u0 = jnp.min(jnp.where(hit, s0c, BIG), axis=0)  # [N]
+        u1 = jnp.max(jnp.where(hit, s1c, -BIG), axis=0)
+        has_core = u1 > u0
+        u0 = jnp.where(has_core, u0, BIG)  # no-core rays: leads cover all
+        u1 = jnp.where(has_core, u1, BIG)
+        dt_u = jnp.where(has_core, (u1 - u0) / n_steps, 0.0)
+
+        def pairc(a, j):
+            """Pair-j constant, broadcastable to [N] (dense mode keeps
+            per-volume [1] columns)."""
+            return a[j]
+
+        def ustep(carry, ki):
+            trans, cr, cg_, cb_ = carry  # [N]
+            t_mid = u0 + (ki + 0.5) * dt_u
+            flat = jnp.zeros(n, jnp.int32)
+            inside_any = jnp.zeros(n, bool)
+            for j in range(v_eff):
+                gsf = pairc(gs_f, j)
+                gsi = pairc(gs_i, j)
+                lx = (vox[j] + t_mid * vdx[j] - pairc(bx, j)) * gsf
+                ly = (voy[j] + t_mid * vdy[j] - pairc(by, j)) * gsf
+                lz = (voz[j] + t_mid * vdz[j] - pairc(bz, j)) * gsf
+                ix = jnp.clip(lx.astype(jnp.int32), 0, gsi - 1)
+                iy = jnp.clip(ly.astype(jnp.int32), 0, gsi - 1)
+                iz = jnp.clip(lz.astype(jnp.int32), 0, gsi - 1)
+                inside = (hit[j] & (lx >= 0.0) & (lx < gsf) & (ly >= 0.0)
+                          & (ly < gsf) & (lz >= 0.0) & (lz < gsf))
+                f = (ix * g + iy) * g + iz + pairc(vbase, j)
+                flat = jnp.where(inside & ~inside_any, f, flat)
+                inside_any = inside_any | inside
+            cells = _cell_fetch(dens_flat, cell_tab, flat)
+            s = jnp.where(inside_any, cells[:, 0], 0.0)
+            m = cells[:, 1].astype(jnp.int32)
+            alb = _rows(alb_tab, m)
+            alpha = 1.0 - jnp.exp(-s * dt_u)
+            wgt = trans * alpha
+            cr = cr + wgt * jnp.where(inside_any, alb[:, 0], 0.0)
+            cg_ = cg_ + wgt * jnp.where(inside_any, alb[:, 1], 0.0)
+            cb_ = cb_ + wgt * jnp.where(inside_any, alb[:, 2], 0.0)
+            return (trans * (1.0 - alpha), cr, cg_, cb_), None
+
+        def brick_step(j, t_start, dtp):
+            """Pair-j lead/tail segment at brick granularity, [N] carry."""
+            gsf = pairc(gs_f, j)
+            gsi = pairc(gs_i, j)
+            ms_i = (gsi + 7) // 8
+            vbj = (vol_ids[j] if vol_ids.ndim == 2 else vol_ids[j, 0])
+
             def bstep(carry, ki):
                 trans, cr, cg_, cb_ = carry
                 t_mid = t_start + (ki + 0.5) * dtp
-                lx = (vox + t_mid * vdx - bx) * gs_f
-                ly = (voy + t_mid * vdy - by) * gs_f
-                lz = (voz + t_mid * vdz - bz) * gs_f
-                ms_i = (gs_i + 7) // 8
+                lx = (vox[j] + t_mid * vdx[j] - pairc(bx, j)) * gsf
+                ly = (voy[j] + t_mid * vdy[j] - pairc(by, j)) * gsf
+                lz = (voz[j] + t_mid * vdz[j] - pairc(bz, j)) * gsf
                 ibx = jnp.clip((lx * 0.125).astype(jnp.int32), 0, ms_i - 1)
                 iby = jnp.clip((ly * 0.125).astype(jnp.int32), 0, ms_i - 1)
                 ibz = jnp.clip((lz * 0.125).astype(jnp.int32), 0, ms_i - 1)
-                inside = ((lx >= 0.0) & (lx < gs_f) & (ly >= 0.0)
-                          & (ly < gs_f) & (lz >= 0.0) & (lz < gs_f))
-                flat_b = vol_ids * m3 + (ibx * msp + iby) * msp + ibz
+                inside = ((lx >= 0.0) & (lx < gsf) & (ly >= 0.0)
+                          & (ly < gsf) & (lz >= 0.0) & (lz < gsf))
+                flat_b = vbj * m3 + (ibx * msp + iby) * msp + ibz
                 sb = jnp.where(inside, jnp.take(bsig, flat_b, mode="clip"),
                                0.0)
                 alpha = 1.0 - jnp.exp(-sb * dtp)
@@ -410,36 +462,50 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
                 return (trans * (1.0 - alpha), cr, cg_, cb_), None
             return jax.checkpoint(bstep) if _REMAT else bstep
 
-        dt_lead = jnp.where(hit, (s0c - t0) / span_steps, 0.0)
-        dt_tail = jnp.where(hit, (t1 - s1c) / span_steps, 0.0)
-        carry, _ = jax.lax.scan(brick_step(t0, dt_lead), init,
-                                jnp.arange(span_steps, dtype=F32))
-        carry, _ = jax.lax.scan(step_fn, carry,
+        steps_u = jnp.arange(span_steps, dtype=F32)
+        carry = (jnp.ones(n, F32), jnp.zeros(n, F32), jnp.zeros(n, F32),
+                 jnp.zeros(n, F32))
+        for j in range(v_eff):  # leads (all precede the union core)
+            lead_hi = jnp.minimum(u0, t1[j])
+            dtp = jnp.where(hit[j],
+                            jnp.maximum(lead_hi - t0[j], 0.0) / span_steps,
+                            0.0)
+            carry, _ = jax.lax.scan(brick_step(j, t0[j], dtp), carry,
+                                    steps_u)
+        ustep_fn = jax.checkpoint(ustep) if _REMAT else ustep
+        carry, _ = jax.lax.scan(ustep_fn, carry,
                                 jnp.arange(n_steps, dtype=F32))
-        (trans, cr, cg_, cb_), _ = jax.lax.scan(
-            brick_step(s1c, dt_tail), carry,
-            jnp.arange(span_steps, dtype=F32))
+        for j in range(v_eff):  # tails (all follow the union core)
+            tail_lo = jnp.maximum(u1, t0[j])
+            dtp = jnp.where(hit[j],
+                            jnp.maximum(t1[j] - tail_lo, 0.0) / span_steps,
+                            0.0)
+            carry, _ = jax.lax.scan(brick_step(j, tail_lo, dtp), carry,
+                                    steps_u)
+        trans_n, out_r, out_g, out_b = carry
+        t_total = trans_n
+        color = jnp.stack([out_r, out_g, out_b], axis=-1)
     else:
         (trans, cr, cg_, cb_), _ = jax.lax.scan(
             step_fn, init, jnp.arange(n_steps, dtype=F32))
 
-    # composite per-pair segments front-to-back by entry t (no sort: the
-    # prefix transmittance of segment v is the product over segments that
-    # start strictly earlier, index-ordered on ties)
-    order = t0p + jnp.where(hit, 0.0, 1e30)
-    idx_v = jnp.arange(v_eff)[:, None]
-    out_r = jnp.zeros(n, F32)
-    out_g = jnp.zeros(n, F32)
-    out_b = jnp.zeros(n, F32)
-    for vi in range(v_eff):
-        before = ((order[vi] > order)
-                  | ((order[vi] == order) & (vi > idx_v)))  # [V, N]
-        pf = jnp.prod(jnp.where(before, trans, 1.0), axis=0)  # [N]
-        out_r = out_r + pf * cr[vi]
-        out_g = out_g + pf * cg_[vi]
-        out_b = out_b + pf * cb_[vi]
-    t_total = jnp.prod(trans, axis=0)
-    color = jnp.stack([out_r, out_g, out_b], axis=-1)
+        # composite per-pair segments front-to-back by entry t (no sort:
+        # the prefix transmittance of segment v is the product over
+        # segments that start strictly earlier, index-ordered on ties)
+        order = t0p + jnp.where(hit, 0.0, 1e30)
+        idx_v = jnp.arange(v_eff)[:, None]
+        out_r = jnp.zeros(n, F32)
+        out_g = jnp.zeros(n, F32)
+        out_b = jnp.zeros(n, F32)
+        for vi in range(v_eff):
+            before = ((order[vi] > order)
+                      | ((order[vi] == order) & (vi > idx_v)))  # [V, N]
+            pf = jnp.prod(jnp.where(before, trans, 1.0), axis=0)  # [N]
+            out_r = out_r + pf * cr[vi]
+            out_g = out_g + pf * cg_[vi]
+            out_b = out_b + pf * cb_[vi]
+        t_total = jnp.prod(trans, axis=0)
+        color = jnp.stack([out_r, out_g, out_b], axis=-1)
 
     bg = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
     img = color + t_total[:, None] * bg
