@@ -3,8 +3,12 @@
 
 Headline metric (BASELINE.json): rays/sec/chip fwd+bwd at 1080p — measured
 as primary rays per second for one full forward render (path integrator,
-monu config) PLUS one backward pass of the differentiable integrator on the
-same ray population.  vs_baseline is against the 1 Grays/s forward target.
+monu config, Pallas VMEM traversal) PLUS one backward pass of the
+differentiable integrator (union-span relaxed march) on the same ray
+population.  vs_baseline is against the 1 Grays/s forward target.
+
+Timing is honest for the axon tunnel: jax.block_until_ready is a NO-OP
+through it (PERF_NOTES.md), so every measurement pulls data to the host.
 
 Extra diagnostics go to stderr; stdout carries exactly one JSON line.
 """
@@ -18,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1920))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1080))
-REPS = int(os.environ.get("BENCH_REPS", 2))
+REPS = int(os.environ.get("BENCH_REPS", 3))
 
 
 def log(*a):
@@ -55,18 +59,25 @@ def main():
     scene = jax.tree.map(jnp.asarray, scene)
     key = jax.random.PRNGKey(0)
     n_rays = WIDTH * HEIGHT
-    tiles = int(os.environ.get("BENCH_TILES", 16))
-    # backward gradient scatters are table-sized per band: fewer, larger
-    # bands win there (measured: 16 bands ~42 s, 32 bands ~116 s)
-    tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 4))
+    # single fused dispatch for the whole frame (scripts/profile_frame.py:
+    # banding and wavefront compaction are both net-negative since the
+    # Pallas traversal early-exits per ray block)
+    tiles = int(os.environ.get("BENCH_TILES", 1))
+    # backward: union-span relaxed march over the occupied-brick span
+    # (scripts/bench_bwd.py sweep)
+    diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 16))
+    span_steps = int(os.environ.get("BENCH_SPAN_STEPS", 2))
+    tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 1))
 
-    # ---- forward (hard path tracer), row-banded to bound HBM
+    # ---- forward (hard path tracer, Pallas VMEM traversal)
     img = render_tiled(scene, cfg, key, 1, tiles)  # compile + warm
     log("forward image mean:", float(img.mean()))
-    t0 = time.time()
+    ts = []
     for i in range(REPS):
+        t0 = time.time()
         img = render_tiled(scene, cfg, jax.random.fold_in(key, i), 1, tiles)
-    fwd_s = (time.time() - t0) / REPS
+        ts.append(time.time() - t0)
+    fwd_s = float(np.median(ts))
     fwd_rays = n_rays / fwd_s
     log(f"forward: {fwd_s * 1e3:.0f} ms -> {fwd_rays / 1e6:.3f} Mrays/s")
 
@@ -76,28 +87,31 @@ def main():
     target_band = jnp.zeros((rows, WIDTH, 3), jnp.float32)
     # exact pair-compaction bound for this camera (host slab tests)
     diff_k = min(max_aabb_crossings(scene, cfg), scene.volumes.n)
-    log(f"diff pair compaction k={diff_k} of V={scene.volumes.n}")
+    log(f"diff pair compaction k={diff_k} of V={scene.volumes.n}; "
+        f"union-span march steps={diff_steps} span={span_steps}")
 
     def full_grad(k):
         total = None
         for b in range(tiles_bwd):
             row0 = jnp.float32(min(b * rows, HEIGHT - rows))
-            # 48 per-volume-interval steps ~= 5x the effective sampling
-            # density of the old 96 union-span steps (diff/volumetric.py)
-            g = grad_fn(params, scene, cfg, target_band, k, 48,
-                        row0=row0, rows=rows, k=diff_k)
+            g = grad_fn(params, scene, cfg, target_band, k, diff_steps,
+                        row0=row0, rows=rows, k=diff_k,
+                        span_steps=span_steps)
             np.asarray(g.albedo_table[:1, :1])
             total = g if total is None else jax.tree.map(jnp.add, total, g)
         return total
 
     g = full_grad(key)  # compile + warm
-    t0 = time.time()
+    ts = []
     for i in range(REPS):
+        t0 = time.time()
         g = full_grad(jax.random.fold_in(key, i))
         np.asarray(g.albedo_table[:1, :1])
-    bwd_s = (time.time() - t0) / REPS
+        ts.append(time.time() - t0)
+    bwd_s = float(np.median(ts))
     fb_rays = n_rays / (fwd_s + bwd_s)
-    log(f"fwd+bwd: {(fwd_s + bwd_s) * 1e3:.0f} ms -> {fb_rays / 1e6:.3f} Mrays/s")
+    log(f"bwd: {bwd_s * 1e3:.0f} ms; fwd+bwd: {(fwd_s + bwd_s) * 1e3:.0f} ms"
+        f" -> {fb_rays / 1e6:.3f} Mrays/s")
 
     print(json.dumps({
         "metric": "rays/sec/chip fwd+bwd at 1080p (path fwd + diff bwd)",

@@ -56,3 +56,9 @@ class RenderConfig:
     # shadow pass per bounce and only the game consumes it.
     detect_light_kill: bool = False
     light_kill_threshold: float = 16.0
+    # route instance culling through the TLAS BVH walk (kernels/tlas.py —
+    # the reference's dormant BasicBVH made queryable) instead of the
+    # dense per-ray slab test.  Results are bit-identical
+    # (tests/test_tlas.py); on this chip the dense test wins below ~100
+    # instances (PERF_NOTES.md), so default off.
+    use_tlas_bvh: bool = False

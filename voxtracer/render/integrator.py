@@ -170,14 +170,12 @@ def _topk(scene: SceneData) -> int:
 def _tlas_candidates(scene: SceneData, o3, d3):
     """Per-ray possibly-hit instance mask [V, N] from the TLAS BVH walk
     (kernels/tlas.py) — the reference's dormant BasicBVH (renderer.h:220)
-    queried for real.  Opt-in via VOXTRACER_TLAS=1: on this chip the dense
+    queried for real.  Opt-in via cfg.use_tlas_bvh: on this chip the dense
     per-ray slab test + entry sort beats the lockstep BVH walk below ~100
     instances (PERF_NOTES.md), so the default stays dense; results are
     bit-identical either way (tests/test_tlas.py)."""
-    import os
-
     v = scene.volumes
-    if os.environ.get("VOXTRACER_TLAS") != "1" or v.tlas_nmin is None:
+    if v.tlas_nmin is None:
         return None
     from voxtracer.kernels.tlas import bvh_candidates
 
@@ -203,7 +201,8 @@ def _use_pallas(scene: SceneData) -> bool:
 
 
 def find_nearest_world(scene: SceneData, o, d, active,
-                       skip_lo=1, skip_hi=0, skip_first=False):
+                       skip_lo=1, skip_hi=0, skip_first=False,
+                       use_tlas=False):
     """Renderer::FindNearest (renderer.cpp:946-1018) — all instances in ONE
     fused wavefront loop, then spheres/triangles merged.
     o, d: [N, 3] or component tuples.  Returns dict with t, mat, vol, hit,
@@ -219,17 +218,20 @@ def find_nearest_world(scene: SceneData, o, d, active,
     # kernel only for dynamic material skip ranges (game probes)
     no_skip = (isinstance(skip_lo, int) and isinstance(skip_hi, int)
                and skip_lo > skip_hi)
+    cand = _tlas_candidates(scene, o3, d3) if use_tlas else None
     if no_skip and _use_pallas(scene):
         from voxtracer.kernels.pallas_dda import traverse_pallas
 
         res = traverse_pallas(*_vol_args(scene), o3, d3,
                               jnp.full(n, BIG, F32), active, vol_enabled,
-                              **_occ_args(scene), mode="nearest")
+                              **_occ_args(scene), mode="nearest",
+                              cand_mask=cand)
     elif no_skip:
         res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3,
                                         jnp.full(n, BIG, F32), active,
                                         vol_enabled, **_occ_args(scene),
-                                        mode="nearest", k=_topk(scene))
+                                        mode="nearest", k=_topk(scene),
+                                        cand_mask=cand)
     else:
         res = dda.traverse(*_vol_args(scene), o3, d3, jnp.full(n, BIG, F32),
                            active, vol_enabled, jnp.int32(skip_lo),
@@ -263,22 +265,25 @@ def find_nearest_world(scene: SceneData, o, d, active,
     return out
 
 
-def is_occluded_world(scene: SceneData, o, d, t_limit, active):
+def is_occluded_world(scene: SceneData, o, d, t_limit, active,
+                      use_tlas=False):
     """Renderer::IsOccluded (renderer.cpp:209-243) — one fused pass."""
     o3 = o if not isinstance(o, tuple) else cstack(o)
     d3 = d if not isinstance(d, tuple) else cstack(d)
+    cand = _tlas_candidates(scene, o3, d3) if use_tlas else None
     if _use_pallas(scene):
         from voxtracer.kernels.pallas_dda import traverse_pallas
 
         res = traverse_pallas(*_vol_args(scene), o3, d3, t_limit, active,
                               jnp.ones(scene.volumes.n, bool),
-                              **_occ_args(scene), mode="occluded")
+                              **_occ_args(scene), mode="occluded",
+                              cand_mask=cand)
     else:
         res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3, t_limit,
                                         active,
                                         jnp.ones(scene.volumes.n, bool),
                                         **_occ_args(scene), mode="occluded",
-                                        k=_topk(scene))
+                                        k=_topk(scene), cand_mask=cand)
     occ = res["hit"]
     occ = occ | spheres_occluded(scene.spheres, o3, d3, t_limit)
     occ = occ | triangles_occluded(scene.triangles, o3, d3, t_limit)
@@ -364,7 +369,8 @@ def _light_contribution(scene: SceneData, cfg: RenderConfig, p, nrm, alb,
         raise AssertionError(kind)
     origin = coffset(p, nrm)
     need = active & gate
-    occ = is_occluded_world(scene, origin, dirn, shadow_t, need)
+    occ = is_occluded_world(scene, origin, dirn, shadow_t, need,
+                            use_tlas=cfg.use_tlas_bvh)
     lit = need & ~occ
     zero = (jnp.zeros(nrays, F32),) * 3
     return cwhere(lit, cmul(intensity, alb), zero)
@@ -390,7 +396,8 @@ def _area_contribution(scene, cfg, p, nrm, alb, idx, active, key):
         dirn = cscale(1.0 / dst, to_l)
         cos_t = cdot(dirn, nrm)
         need = active & (cos_t > 0.0)
-        occ = is_occluded_world(scene, origin, dirn, dst, need)
+        occ = is_occluded_world(scene, origin, dirn, dst, need,
+                                use_tlas=cfg.use_tlas_bvh)
         lit = need & ~occ
         scale = cos_t * lmul * lrad * lrad * (4.0 * jnp.pi) / (dst * dst)
         contrib = cscale(scale, lcol)
@@ -502,7 +509,8 @@ def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key):
 
     origin = coffset(p, nrm)
     need = active & gate
-    occ = is_occluded_world(scene, origin, dirn, shadow_t, need)
+    occ = is_occluded_world(scene, origin, dirn, shadow_t, need,
+                            use_tlas=cfg.use_tlas_bvh)
     lit = need & ~occ
     acc = cwhere(lit, cadd(acc, cmul(intensity, alb)), acc)
     return cscale(float(total), acc)
@@ -519,7 +527,8 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
     n = st["o"][0].shape[0]
     one3 = (jnp.ones(n, F32),) * 3
     o, d, active = st["o"], st["d"], st["active"]
-    rec = find_nearest_world(scene, o, d, active)
+    rec = find_nearest_world(scene, o, d, active,
+                             use_tlas=cfg.use_tlas_bvh)
     t, mat, vol = rec["t"], rec["mat"], rec["vol"]
     nrm = (rec["nx"], rec["ny"], rec["nz"])
     in_glass = jnp.where(rec["prim_adopt"], rec["prim_inside"],
@@ -796,7 +805,8 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
     if depth < 0:
         return jnp.zeros((n, 3), F32)
 
-    hitrec = find_nearest_world(scene, o, d, active)
+    hitrec = find_nearest_world(scene, o, d, active,
+                                use_tlas=cfg.use_tlas_bvh)
     t, mat, nrm, vol = hitrec["t"], hitrec["mat"], hitrec["normal"], hitrec["vol"]
     in_glass = jnp.where(hitrec["prim_adopt"], hitrec["prim_inside"], in_glass)
     sky = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
@@ -912,7 +922,8 @@ def _sample_pixels(scene: SceneData, cfg: RenderConfig, key, px, py,
     o, d = primary_rays(scene.camera, cfg.width, cfg.height, px, py, lens, jnp)
 
     if cfg.mode == "primary":
-        rec = find_nearest_world(scene, o, d, jnp.ones(n, bool))
+        rec = find_nearest_world(scene, o, d, jnp.ones(n, bool),
+                                 use_tlas=cfg.use_tlas_bvh)
         sky = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
         rad = jnp.where(rec["hit"][:, None], _albedo(scene, rec["mat"]), sky)
         return (rad, dict(in_light=jnp.zeros(n, bool))) if return_aux else rad
