@@ -67,7 +67,7 @@ def main():
     # (scripts/bench_bwd.py sweep)
     diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 16))
     span_steps = int(os.environ.get("BENCH_SPAN_STEPS", 2))
-    tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 1))
+    tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 2))
 
     # ---- forward (hard path tracer, Pallas VMEM traversal)
     img = render_tiled(scene, cfg, key, 1, tiles)  # compile + warm

@@ -134,3 +134,28 @@ def test_primary_city_matches_oracle(assets_dir):
                                    nx=4, nz=4, bounces=2)
     cfg = dataclasses.replace(cfg, mode="primary")
     _compare(scene, cfg, max_bad_frac=0.02, cache="city_primary_24")
+
+
+def test_whitted_iterative_matches_recursive():
+    """The branch-stack whitted (compiles ONE body) reproduces the
+    recursive 3^depth-tree estimator to float rounding."""
+    import jax.numpy as jnp
+
+    from voxtracer.render.integrator import (_pixel_grid, trace_whitted,
+                                             trace_whitted_iter)
+    from voxtracer.render.camera import primary_rays
+
+    scene, cfg = presets.glass_sphere_box(24, 24)
+    cfg = dataclasses.replace(cfg, max_bounces=3)
+    scene = jax.tree.map(jnp.asarray, scene)
+    px, py = _pixel_grid(cfg)
+    o, d = primary_rays(scene.camera, cfg.width, cfg.height, px, py, None,
+                        jnp)
+    rec = np.asarray(trace_whitted(scene, cfg, o, d, cfg.max_bounces))
+    it = np.asarray(trace_whitted_iter(scene, cfg, o, d, cfg.max_bounces))
+    # two separately-compiled programs contract FMAs differently; the
+    # ULP-offset shadow epsilon flips a few boundary pixels (same policy
+    # as the oracle goldens)
+    diff = np.abs(it - rec).max(-1)
+    assert (diff > 1e-4).mean() < 0.01, f"{(diff > 1e-4).mean():.2%}"
+    assert np.median(diff) < 1e-6

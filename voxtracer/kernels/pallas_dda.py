@@ -643,7 +643,7 @@ def _make_exit_kernel(v: int, b: int, side: int, mside: int, m3: int,
                                    "interpret"))
 def exit_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d,
                 ray_active, mode_code, vol_match, occ, bricksize,
-                max_outer=4096, inner=INNER, block_rows=16, interpret=None):
+                max_outer=4096, inner=INNER, block_rows=8, interpret=None):
     """Pallas material-exit march, drop-in for dda_occ.traverse_occ
     mode="exit".  Returns dict(in_vol, t, cell, nx, ny, nz)."""
     from voxtracer.kernels.dda import EXIT_SMOKE
@@ -771,7 +771,7 @@ def _prep_tables(gridsize, inv, fwd, cube_min, occ, bricksize, plane):
 def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                     ray_active, vol_enabled, occ, bricksize,
                     mode="nearest", max_outer=4096, inner=INNER,
-                    block_rows=16, interpret=None, cand_mask=None):
+                    block_rows=8, interpret=None, cand_mask=None):
     """Pallas traversal, drop-in for dda_occ.traverse_occ_topk
     (modes nearest / occluded).  Returns the same per-ray dicts.
 

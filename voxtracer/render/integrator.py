@@ -895,6 +895,185 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
     return color
 
 
+def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
+                       depth: int):
+    """Iterative Whitted with an explicit per-ray branch stack.
+
+    The recursive trace_whitted compiles a 3^depth tree of traversal
+    instantiations (VERDICT r1 'brittle'); here each wavefront iteration
+    pops ONE pending branch per ray (weighted by the path product), traces
+    all rays fused, accumulates the terminal/NEE contribution, and pushes
+    the continuations: metal -> 1 (mirror), glass/smoke -> up to 2
+    (Fresnel split), diffuse/emissive/miss -> 0.  Compiles ONE body;
+    runtime iterations = max live branches per ray.  Same estimator as
+    trace_whitted (deterministic), summation order differs by float
+    rounding only."""
+    n = o.shape[0]
+    S = depth + 2  # stack slots: glass pushes <=1 extra per level
+
+    def spush(stk, sp, vals, mask):
+        """Push vals (dict of [N] arrays) at slot sp for masked rays."""
+        out = {}
+        onehot = (jnp.arange(S)[:, None] == sp[None, :]) & mask[None, :]
+        for kk, v in vals.items():
+            out[kk] = jnp.where(onehot, v[None, :], stk[kk])
+        return out, jnp.where(mask, jnp.minimum(sp + 1, S), sp)
+
+    def speek(stk, sp):
+        idx = jnp.maximum(sp - 1, 0)
+        sel = jnp.arange(S)[:, None] == idx[None, :]
+        return {kk: jnp.sum(jnp.where(sel, v, 0), axis=0) for kk, v in
+                stk.items()}
+
+    zero = jnp.zeros((S, n), F32)
+    stack = dict(ox=zero, oy=zero, oz=zero, dx=zero, dy=zero, dz=zero,
+                 wr=zero, wg=zero, wb=zero, gl=zero, dep=zero)
+    sp = jnp.zeros(n, jnp.int32)
+    stack, sp = spush(stack, sp, dict(
+        ox=o[:, 0], oy=o[:, 1], oz=o[:, 2],
+        dx=d[:, 0], dy=d[:, 1], dz=d[:, 2],
+        wr=jnp.ones(n, F32), wg=jnp.ones(n, F32), wb=jnp.ones(n, F32),
+        gl=jnp.zeros(n, F32), dep=jnp.full(n, depth, F32)),
+        jnp.ones(n, bool))
+
+    def body(carry):
+        stack, sp, color, it = carry
+        live = sp > 0
+        task = speek(stack, sp)
+        sp = jnp.where(live, sp - 1, sp)
+        to = cstack((task["ox"], task["oy"], task["oz"]))
+        td = cstack((task["dx"], task["dy"], task["dz"]))
+        w = (task["wr"], task["wg"], task["wb"])
+        in_glass = task["gl"] > 0.5
+        dep = task["dep"].astype(jnp.int32)
+
+        rec = find_nearest_world(scene, to, td, live,
+                                 use_tlas=cfg.use_tlas_bvh)
+        t, mat, vol = rec["t"], rec["mat"], rec["vol"]
+        nrm = (rec["nx"], rec["ny"], rec["nz"])
+        in_glass = jnp.where(rec["prim_adopt"], rec["prim_inside"], in_glass)
+        sky = _sky_c(scene, cfg, cpack(td))
+        miss = live & (mat == MAT_NONE)
+        color = cwhere(miss, cadd(color, cmul(w, sky)), color)
+        live_hit = live & ~miss
+
+        mtab = jnp.concatenate(
+            [scene.materials.albedo,
+             scene.materials.emissive[:, None],
+             scene.materials.ior[:, None]], axis=1)
+        mrow = jnp.take(mtab, mat, axis=0, mode="clip")
+        alb = (mrow[:, 0], mrow[:, 1], mrow[:, 2])
+        emis, ior = mrow[:, 3], mrow[:, 4]
+
+        is_metal = (mat >= METAL_HIGH) & (mat <= METAL_LOW)
+        is_glass_m = mat == GLASS
+        is_smoke = (mat >= SMOKE_LOW_DENSITY) & (mat <= SMOKE_PLAYER)
+        is_emissive = mat == EMISSIVE
+        is_model = (mat > EMISSIVE) & (mat != MAT_NONE)
+        is_diffuse = (mat < METAL_HIGH) | is_model
+
+        # medium march
+        march = live_hit & in_glass & (is_glass_m | is_smoke) & (vol >= 0)
+        mode_code = jnp.where(is_glass_m, dda.EXIT_GLASS, dda.EXIT_SMOKE)
+        in_vol, t_exit, nrm_exit = material_exit_world(scene, to, td, vol,
+                                                       mode_code, march)
+        t = jnp.where(march, t_exit, t)
+        nrm = cwhere(march & in_vol, nrm_exit, nrm)
+        fell = march & ~in_vol
+        tdc = cpack(td)
+        toc = cpack(to)
+        toc = cwhere(fell, cadd(toc, cscale(t, tdc)), toc)
+        t = jnp.where(fell, 0.0, t)
+        p_hit = cadd(toc, cscale(t, tdc))
+
+        # emissive terminal
+        color = cwhere(live_hit & is_emissive,
+                       cadd(color, cmul(w, cscale(emis, alb))), color)
+
+        # diffuse: NEE sum
+        nee_mask = live_hit & is_diffuse & (dep >= 0)
+        inc = illumination(scene, cfg, p_hit, nrm, mat, nee_mask,
+                           jax.random.PRNGKey(0))
+        color = cwhere(nee_mask & ~is_model, cadd(color, cmul(w, inc)),
+                       color)
+        color = cwhere(nee_mask & is_model,
+                       cadd(color, cmul(w, cmul(alb, inc))), color)
+
+        can_rec = dep > 0
+        refl = creflect(tdc, nrm)
+        refl = cunit(refl)
+
+        # metal continuation (weight *= albedo)
+        metal_go = live_hit & is_metal & can_rec
+        mo = coffset(p_hit, nrm)
+
+        # glass/smoke split
+        glass_mask = live_hit & is_glass_m
+        smoke_mask = live_hit & is_smoke
+        media_mask = (glass_mask | smoke_mask) & can_rec
+        ratio = jnp.where(in_glass, ior, 1.0 / ior)
+        ratio = jnp.where(is_smoke, 1.0, ratio)
+        cos_g = jnp.minimum(cdot(cneg(tdc), nrm), 1.0)
+        sin_g = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_g * cos_g))
+        cannot_refract = (ratio * sin_g > 1.0) & glass_mask
+        r_coef = jnp.where(cannot_refract, 1.0,
+                           mathx.schlick(cos_g, ratio, jnp))
+        r_coef = jnp.where(smoke_mask, 0.0, r_coef)
+        glass_color = cwhere(in_glass, alb, (jnp.ones(n, F32),) * 3)
+        intensity = jnp.where(in_glass & is_smoke, emis, 0.0)
+        dist = jnp.where(march, t, 0.0)
+        smoke_trans = tuple(
+            jnp.exp(-dist * intensity * (1.0 - alb[i])) for i in range(3))
+        media_color = cwhere(smoke_mask, smoke_trans, glass_color)
+        refr_dir = crefract(tdc, nrm, ratio)
+        refr_dir = cwhere(smoke_mask, tdc, refr_dir)
+        refr_dir = cunit(refr_dir)
+        fo = coffset(p_hit, cneg(nrm))
+
+        if cfg.whitted_glass_split:
+            need_refr = media_mask & (r_coef < 1.0)
+            need_refl = media_mask & glass_mask & (r_coef > 0.0)
+        else:
+            need_refr = jnp.zeros(n, bool)
+            need_refl = jnp.zeros(n, bool)
+
+        # continuation 1 (in-place push): metal mirror OR refracted branch
+        c1 = metal_go | need_refr
+        c1_o = cwhere(metal_go, mo, fo)
+        c1_d = cwhere(metal_go, refl, refr_dir)
+        w_metal = cmul(w, alb)
+        w_refr = cscale(1.0 - r_coef, cmul(w, media_color))
+        c1_w = cwhere(metal_go, w_metal, w_refr)
+        c1_gl = jnp.where(metal_go, 0.0,
+                          jnp.where(media_mask, 1.0 - in_glass, in_glass))
+        stack, sp = spush(stack, sp, dict(
+            ox=c1_o[0], oy=c1_o[1], oz=c1_o[2],
+            dx=c1_d[0], dy=c1_d[1], dz=c1_d[2],
+            wr=c1_w[0], wg=c1_w[1], wb=c1_w[2],
+            gl=c1_gl, dep=(dep - 1).astype(F32)), c1)
+
+        # continuation 2: reflected glass branch
+        ro = coffset(p_hit, nrm)
+        w_refl = cscale(r_coef, cmul(w, media_color))
+        stack, sp = spush(stack, sp, dict(
+            ox=ro[0], oy=ro[1], oz=ro[2],
+            dx=refl[0], dy=refl[1], dz=refl[2],
+            wr=w_refl[0], wg=w_refl[1], wb=w_refl[2],
+            gl=in_glass.astype(F32), dep=(dep - 1).astype(F32)),
+            need_refl)
+
+        return stack, sp, color, it + 1
+
+    def cond(carry):
+        _, sp, _, it = carry
+        return jnp.any(sp > 0) & (it < 2 ** (depth + 1) + 4)
+
+    zero3 = (jnp.zeros(n, F32),) * 3
+    _, _, color, _ = jax.lax.while_loop(
+        cond, body, (stack, sp, zero3, jnp.int32(0)))
+    return cstack(color)
+
+
 # --------------------------------------------------------------------------
 # Top-level rendering
 # --------------------------------------------------------------------------
@@ -928,7 +1107,7 @@ def _sample_pixels(scene: SceneData, cfg: RenderConfig, key, px, py,
         rad = jnp.where(rec["hit"][:, None], _albedo(scene, rec["mat"]), sky)
         return (rad, dict(in_light=jnp.zeros(n, bool))) if return_aux else rad
     if cfg.mode == "whitted":
-        rad = trace_whitted(scene, cfg, o, d, cfg.max_bounces)
+        rad = trace_whitted_iter(scene, cfg, o, d, cfg.max_bounces)
         return (rad, dict(in_light=jnp.zeros(n, bool))) if return_aux else rad
     return trace_path(scene, cfg, o, d, key, return_aux=return_aux)
 
