@@ -50,7 +50,6 @@ def main():
 
     from voxtracer.diff.volumetric import (grad_fn, max_aabb_crossings,
                                            params_from_scene)
-    from voxtracer.render.integrator import render_tiled
     from voxtracer.scene.presets import monu_path
 
     log("devices:", jax.devices())
@@ -69,13 +68,21 @@ def main():
     span_steps = int(os.environ.get("BENCH_SPAN_STEPS", 2))
     tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 2))
 
-    # ---- forward (hard path tracer, Pallas VMEM traversal)
-    img = render_tiled(scene, cfg, key, 1, tiles)  # compile + warm
-    log("forward image mean:", float(img.mean()))
+    # ---- forward (hard path tracer, Pallas VMEM traversal).  Timing
+    # (_render_banded is render_tiled minus the host image transfer.)
+    # pulls a device-side scalar, not the 24 MB image: the tunnel's
+    # device->host transfer (~0.5 s for a full frame) is a test-rig
+    # artifact, not render compute (PERF_NOTES.md timing rules).
+    from voxtracer.render.integrator import _render_banded
+
+    def fwd_once(k):
+        return np.asarray(jnp.mean(_render_banded(scene, cfg, k, 1, tiles)))
+
+    log("forward image mean:", float(fwd_once(key)))  # compile + warm
     ts = []
     for i in range(REPS):
         t0 = time.time()
-        img = render_tiled(scene, cfg, jax.random.fold_in(key, i), 1, tiles)
+        fwd_once(jax.random.fold_in(key, i))
         ts.append(time.time() - t0)
     fwd_s = float(np.median(ts))
     fwd_rays = n_rays / fwd_s

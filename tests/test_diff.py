@@ -183,3 +183,19 @@ def test_span_march_compaction_exact(teapot_small):
     comp = np.asarray(render_diff(params, scene, cfg, key, 24, k=1,
                                   span_steps=4))
     np.testing.assert_allclose(dense, comp, atol=1e-6)
+
+
+def test_span_march_bench_settings_consistency(teapot_small):
+    """The BENCH settings (n_steps=16, span_steps=2 — bench.py) must still
+    converge to the hard image at saturation; guards against quality-gaming
+    the fwd+bwd headline number."""
+    scene, cfg = teapot_small
+    params = params_from_scene(scene, occupied_logit=12.0, empty_logit=-12.0)
+    key = jax.random.PRNGKey(0)
+    from voxtracer.render.integrator import render as hard_render
+    hard = np.asarray(hard_render(scene, cfg, key, 1))
+    soft = np.asarray(render_diff(params, scene, cfg, key, n_steps=16,
+                                  density_scale=4096.0, span_steps=2))
+    diff = np.abs(hard - soft).max(-1)
+    assert (diff < 0.08).mean() > 0.85, f"{(diff >= 0.08).mean():.1%} differ"
+    assert np.median(diff) < 1e-2

@@ -85,7 +85,7 @@ def _next_after(t):
 
 def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                  m3: int, nb_occ: int, nb_bm: int, inner: int,
-                 max_outer: int):
+                 max_outer: int, macro_pre: int = 2):
     """Kernel body builder.  Static geometry:
       v volumes; b sublane rows per block; side = padded grid side;
       mside = padded brick-grid side; m3 = mside^3;
@@ -218,6 +218,36 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                             ("tdx", s_f["tdx"]), ("tdy", s_f["tdy"]),
                             ("tdz", s_f["tdz"])):
                 st[nm] = jnp.where(start, val, st[nm])
+
+            # ---- 1.5 multi-step empty-brick skipping: rays in open space
+            # advance several macro cells per outer iteration (each extra
+            # step is ~35 VPU ops + one lane gather vs a whole descend +
+            # fine-step block per iteration otherwise)
+            for _ in range(macro_pre):
+                at_m0 = st["walking"] & ~st["level"]
+                midx0 = (st["mpx"] * mside + st["mpy"]) * mside + st["mpz"]
+                grow0 = st["vol"] * m3 + midx0
+                bmw0 = _gchain(bm_rows, grow0 >> 5, nb_bm)
+                empty = at_m0 & ((jnp.right_shift(bmw0, grow0 & 31) & 1)
+                                 == 0)
+                mtmx0, mtmy0, mtmz0 = st["mtmx"], st["mtmy"], st["mtmz"]
+                first0 = mtmx0 < mtmy0
+                mx0 = first0 & (mtmx0 < mtmz0)
+                my0 = (~first0) & (mtmy0 < mtmz0)
+                mz0 = ~(mx0 | my0)
+                mt0 = jnp.where(mx0, mtmx0, jnp.where(my0, mtmy0, mtmz0))
+                st["mpx"] = st["mpx"] + jnp.where(empty & mx0, st["stx"], 0)
+                st["mpy"] = st["mpy"] + jnp.where(empty & my0, st["sty"], 0)
+                st["mpz"] = st["mpz"] + jnp.where(empty & mz0, st["stz"], 0)
+                mmoved0 = jnp.where(mx0, st["mpx"],
+                                    jnp.where(my0, st["mpy"], st["mpz"]))
+                m_out0 = (mmoved0 < 0) | (mmoved0 >= st["ms_i"])
+                st["mtmx"] = mtmx0 + jnp.where(empty & mx0, st["mtdx"], 0.0)
+                st["mtmy"] = mtmy0 + jnp.where(empty & my0, st["mtdy"], 0.0)
+                st["mtmz"] = mtmz0 + jnp.where(empty & mz0, st["mtdz"], 0.0)
+                st["t"] = jnp.where(empty, mt0, st["t"])
+                ended0 = empty & (m_out0 | ~(mt0 < st["eff_tl"]))
+                st["walking"] = st["walking"] & ~ended0
 
             # ---- 2. brick-mask test: descend or skip -------------------
             at_m = st["walking"] & ~st["level"]
@@ -767,11 +797,12 @@ def _prep_tables(gridsize, inv, fwd, cube_min, occ, bricksize, plane):
 
 
 @partial(jax.jit, static_argnames=("mode", "max_outer", "inner",
-                                   "block_rows", "interpret"))
+                                   "block_rows", "interpret", "macro_pre"))
 def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                     ray_active, vol_enabled, occ, bricksize,
                     mode="nearest", max_outer=4096, inner=INNER,
-                    block_rows=8, interpret=None, cand_mask=None):
+                    block_rows=8, interpret=None, cand_mask=None,
+                    macro_pre=2):
     """Pallas traversal, drop-in for dda_occ.traverse_occ_topk
     (modes nearest / occluded).  Returns the same per-ray dicts.
 
@@ -831,7 +862,7 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                             memory_space=pltpu.VMEM)
 
     kernel = _make_kernel(mode, v, block_rows, side, mside, m3, nb_occ,
-                          nb_bm, inner, max_outer)
+                          nb_bm, inner, max_outer, macro_pre)
 
     out_shapes = [jax.ShapeDtypeStruct((nblk, block_rows, 128), dt)
                   for dt in (I32, F32, I32, I32, F32, F32, F32)]
