@@ -186,7 +186,7 @@ def test_span_march_compaction_exact(teapot_small):
 
 
 def test_span_march_bench_settings_consistency(teapot_small):
-    """The BENCH settings (n_steps=16, span_steps=2 — bench.py) must still
+    """The BENCH settings (n_steps=14, span_steps=1 — bench.py) must still
     converge to the hard image at saturation; guards against quality-gaming
     the fwd+bwd headline number."""
     scene, cfg = teapot_small
@@ -194,8 +194,8 @@ def test_span_march_bench_settings_consistency(teapot_small):
     key = jax.random.PRNGKey(0)
     from voxtracer.render.integrator import render as hard_render
     hard = np.asarray(hard_render(scene, cfg, key, 1))
-    soft = np.asarray(render_diff(params, scene, cfg, key, n_steps=16,
-                                  density_scale=4096.0, span_steps=2))
+    soft = np.asarray(render_diff(params, scene, cfg, key, n_steps=14,
+                                  density_scale=4096.0, span_steps=1))
     diff = np.abs(hard - soft).max(-1)
     assert (diff < 0.08).mean() > 0.85, f"{(diff >= 0.08).mean():.1%} differ"
     assert np.median(diff) < 1e-2
