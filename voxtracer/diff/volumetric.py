@@ -393,6 +393,38 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
 
         u0 = jnp.min(jnp.where(hit, s0c, BIG), axis=0)  # [N]
         u1 = jnp.max(jnp.where(hit, s1c, -BIG), axis=0)
+
+        # transmittance-bounded upper clamp: behind the hard first hit the
+        # prefix transmittance is <= exp(-sigma_min_occupied * margin), so
+        # samples past t_hit + margin carry ~1e-6 of the pixel — clamp the
+        # core there (one volumes-only nearest pass; Pallas on TPU).
+        # margin derives from the CURRENT minimum occupied density
+        # (stop-gradient), so unsaturated parameter states fall back
+        # toward the full span gracefully.
+        from voxtracer.render.integrator import (_occ_args, _use_pallas,
+                                                 _vol_args)
+
+        occ_cells = scene.volumes.grids.reshape(-1) != MAT_NONE
+        sig_min = jax.lax.stop_gradient(
+            jnp.min(jnp.where(occ_cells,
+                              jax.lax.stop_gradient(dens_flat), jnp.inf)))
+        margin = 13.8 / jnp.maximum(sig_min, 1e-6) + 1e-3
+        ven = jnp.ones(v, bool)
+        tlim = jnp.full(n, BIG, F32)
+        if _use_pallas(scene):
+            from voxtracer.kernels.pallas_dda import traverse_pallas
+
+            rec = traverse_pallas(*_vol_args(scene), o, d, tlim, valid, ven,
+                                  **_occ_args(scene), mode="nearest")
+        else:
+            from voxtracer.kernels import dda_occ
+
+            rec = dda_occ.traverse_occ_topk(
+                *_vol_args(scene), o, d, tlim, valid, ven,
+                **_occ_args(scene), mode="nearest", k=min(2, v))
+        t_bound = jnp.where(rec["hit"], rec["t"] + margin, BIG)
+        u1 = jnp.minimum(u1, jnp.maximum(t_bound, u0))
+
         has_core = u1 > u0
         u0 = jnp.where(has_core, u0, BIG)  # no-core rays: leads cover all
         u1 = jnp.where(has_core, u1, BIG)

@@ -297,7 +297,10 @@ def material_exit_world(scene: SceneData, o, d, vol_idx, mode_code, mask):
     o3 = o if not isinstance(o, tuple) else cstack(o)
     d3 = d if not isinstance(d, tuple) else cstack(d)
     n = o3.shape[0]
-    if _use_pallas(scene):
+    # the exit kernel holds BOTH exit-predicate planes in VMEM
+    # (2*V*M^3*16 words); above ~12 volumes that overflows the 16 MB
+    # scoped budget (measured: city V=17 -> 16.16M) — fall back to XLA
+    if _use_pallas(scene) and scene.volumes.n <= 12:
         from voxtracer.kernels.pallas_dda import exit_pallas
 
         res = exit_pallas(*_vol_args(scene), o3, d3, mask, mode_code,
@@ -563,11 +566,18 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
     rad = cwhere(emis_mask,
                  cadd(rad, cmul(st["tp"], cscale(emis, alb))), rad)
 
-    # ---- dielectric / smoke medium march (glass & smoke share it)
+    # ---- dielectric / smoke medium march (glass & smoke share it);
+    # lax.cond skips the whole pass on bounces where no ray is inside a
+    # medium (every bounce of the no-dielectric monu bench)
     march = active & in_glass & (is_glass_m | is_smoke) & (vol >= 0)
     mode_code = jnp.where(is_glass_m, dda.EXIT_GLASS, dda.EXIT_SMOKE)
-    in_vol, t_exit, nrm_exit = material_exit_world(
-        scene, o, d, vol, mode_code, march)
+    o3m, d3m = cstack(o), cstack(d)
+    in_vol, t_exit, nrm_exit = jax.lax.cond(
+        jnp.any(march),
+        lambda args: material_exit_world(scene, *args),
+        lambda args: (jnp.zeros(n, bool), jnp.zeros(n, F32),
+                      (jnp.zeros(n, F32),) * 3),
+        (o3m, d3m, vol, mode_code, march))
     t = jnp.where(march, t_exit, t)
     nrm = cwhere(march & in_vol, nrm_exit, nrm)
     # fell off the grid: move origin to boundary, t=0 (renderer.cpp:1175-1179)
