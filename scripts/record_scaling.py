@@ -51,17 +51,12 @@ def cpu_part():
 
 
 def tpu_part():
-    import dataclasses
-
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from voxtracer.render.integrator import render_tiled
+    from voxtracer.render.integrator import _render_banded
     from voxtracer.scene.presets import monu_path
-
-    def pull(x):
-        return np.asarray(x).ravel()[0]
 
     curve = []
     for (w, h, spp) in ((960, 540, 1), (1920, 1080, 1), (1920, 1080, 2),
@@ -70,27 +65,29 @@ def tpu_part():
                                which=(1, 2, 3), bounces=4)
         scene = jax.tree.map(jnp.asarray, scene)
         key = jax.random.PRNGKey(0)
-        img = render_tiled(scene, cfg, key, spp, 1)
+
+        def once(k):  # scalar pull — exclude the tunnel image transfer
+            return np.asarray(jnp.mean(_render_banded(scene, cfg, k, spp,
+                                                      1)))
+
+        once(key)
         ts = []
         for i in range(3):
             t0 = time.time()
-            img = render_tiled(scene, cfg, jax.random.fold_in(key, i),
-                               spp, 1)
+            once(jax.random.fold_in(key, i))
             ts.append(time.time() - t0)
         dt = float(np.median(ts))
         rays = w * h * spp / dt
         curve.append(dict(width=w, height=h, spp=spp, seconds=round(dt, 4),
                           rays_s=round(rays, 1)))
         print(json.dumps(curve[-1]), file=sys.stderr, flush=True)
-    base = curve[0]["rays_s"] / (curve[0]["width"] * curve[0]["height"]
-                                 * curve[0]["spp"])
+    peak = max(c["rays_s"] for c in curve)
     for c in curve:
-        work = c["width"] * c["height"] * c["spp"]
-        c["efficiency_vs_smallest"] = round(
-            c["rays_s"] / work / base, 3)
+        c["fraction_of_peak"] = round(c["rays_s"] / peak, 3)
     merge("real_chip_work_scaling", dict(
-        note="one TPU v5e via tunnel; rays/s vs work per dispatch "
-             "(monu path 4 bounces)",
+        note="one TPU v5e via tunnel; throughput vs work per dispatch "
+             "(monu path 4 bounces) — shows per-dispatch overhead "
+             "amortization on one chip",
         curve=curve))
 
 

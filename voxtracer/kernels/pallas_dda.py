@@ -73,6 +73,19 @@ def _gchain(rows, idx, nblocks):
     return out
 
 
+def _gchain_ref(row_fn, idx, nblocks):
+    """Like _gchain but reads each 128-row from a VMEM ref at use time
+    (row_fn(k) -> [128]) — keeps scoped-VMEM pressure flat in table size."""
+    if nblocks == 1:
+        return _g128(row_fn(0), idx)
+    hi = idx >> 7
+    out = _g128(row_fn(0), idx)
+    for k in range(1, nblocks):
+        v = _g128(row_fn(k), idx)
+        out = jnp.where(hi == k, v, out)
+    return out
+
+
 def _next_after(t):
     """nextafter(t, +inf) for non-negative finite f32 via int bit bump."""
     bits = jax.lax.bitcast_convert_type(t, I32)
@@ -104,13 +117,18 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
         ray_act = act_ref[0] != 0
         vid_all = vid_ref[0]     # [v, b, 128]
         t0s_all = t0s_ref[0]
-        vtab = [vtab_ref[c] for c in range(26)]          # [128] rows
-        occ_rows = [[occw_ref[w, k] for k in range(nb_occ)]
-                    for w in range(16)]
-        bm_rows = [bm_ref[0, k] for k in range(nb_bm)]
+        # tables are read from the VMEM refs AT USE TIME — preloading
+        # all rows as values keeps V*M^3 words live across the while body
+        # and blows the 16 MB scoped-VMEM budget at large V (measured:
+        # city V=17 spilled to 16.16M and failed to compile)
+        def occ_row(w, k):
+            return occw_ref[w, k]
+
+        def bm_row(k):
+            return bm_ref[0, k]
 
         def vconst(c, vol):
-            return _g128(vtab[c], vol)
+            return _g128(vtab_ref[c], vol)
 
         def chain_row(k_sel, arr):
             out = arr[0]
@@ -227,7 +245,7 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                 at_m0 = st["walking"] & ~st["level"]
                 midx0 = (st["mpx"] * mside + st["mpy"]) * mside + st["mpz"]
                 grow0 = st["vol"] * m3 + midx0
-                bmw0 = _gchain(bm_rows, grow0 >> 5, nb_bm)
+                bmw0 = _gchain_ref(bm_row, grow0 >> 5, nb_bm)
                 empty = at_m0 & ((jnp.right_shift(bmw0, grow0 & 31) & 1)
                                  == 0)
                 mtmx0, mtmy0, mtmz0 = st["mtmx"], st["mtmy"], st["mtmz"]
@@ -253,7 +271,7 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
             at_m = st["walking"] & ~st["level"]
             midx = (st["mpx"] * mside + st["mpy"]) * mside + st["mpz"]
             grow = st["vol"] * m3 + midx
-            bmw = _gchain(bm_rows, grow >> 5, nb_bm)
+            bmw = _gchain_ref(bm_row, grow >> 5, nb_bm)
             occ_bit = (jnp.right_shift(bmw, grow & 31) & 1) == 1
             descend = at_m & occ_bit
             skip = at_m & ~occ_bit
@@ -261,7 +279,7 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
             # ---- 3. descend: fetch the brick's 512 bits + seed fine ----
             words = []
             for j in range(16):
-                wj = _gchain(occ_rows[j], grow, nb_occ)
+                wj = _gchain_ref(lambda k, j=j: occ_row(j, k), grow, nb_occ)
                 wj = jnp.where(descend, wj, st[f"w{j}"])
                 st[f"w{j}"] = wj
                 words.append(wj)
@@ -466,13 +484,14 @@ def _make_exit_kernel(v: int, b: int, side: int, mside: int, m3: int,
         ray_act = act_ref[0] != 0
         vol = jnp.clip(vol_ref_in[0], 0, v - 1)
         plane_sel = pln_ref[0]  # 0 = glass plane, 1 = smoke plane
-        vtab = [vtab_ref[c] for c in range(26)]
-        occ_rows = [[occw_ref[w, k] for k in range(nb_occ)]
-                    for w in range(16)]
-        bm_rows = [bm_ref[0, k] for k in range(nb_bm)]
+        def occ_row(w, k):
+            return occw_ref[w, k]
+
+        def bm_row(k):
+            return bm_ref[0, k]
 
         def vconst(c, volx):
-            return _g128(vtab[c], volx)
+            return _g128(vtab_ref[c], volx)
 
         # object-space ray + setups (hoisted: one volume per lane)
         iv = [vconst(c, vol) for c in range(12)]
@@ -527,7 +546,7 @@ def _make_exit_kernel(v: int, b: int, side: int, mside: int, m3: int,
             at_m = walking & ~level
             midx = (st["mpx"] * mside + st["mpy"]) * mside + st["mpz"]
             grow = row_base + midx
-            bmw = _gchain(bm_rows, grow >> 5, nb_bm)
+            bmw = _gchain_ref(bm_row, grow >> 5, nb_bm)
             occ_bit = (jnp.right_shift(bmw, grow & 31) & 1) == 1
             descend = at_m & occ_bit
             skip = at_m & ~occ_bit
@@ -535,7 +554,7 @@ def _make_exit_kernel(v: int, b: int, side: int, mside: int, m3: int,
             # ---- descend: fetch + seed fine
             words = []
             for j in range(16):
-                wj = _gchain(occ_rows[j], grow, nb_occ)
+                wj = _gchain_ref(lambda k, j=j: occ_row(j, k), grow, nb_occ)
                 wj = jnp.where(descend, wj, st[f"w{j}"])
                 st[f"w{j}"] = wj
                 words.append(wj)

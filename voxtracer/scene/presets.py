@@ -76,9 +76,11 @@ def room_whitted(width=512, height=512, gridsize=128, glass=False):
     cfg = RenderConfig(width=width, height=height, mode="whitted",
                        max_bounces=3 if glass else 5,
                        activate_sky=False, deterministic_lights=True,
-                       # glass split only pays off when the model palette
-                       # actually maps slot 8 (GLASS) — roomGlass does
-                       whitted_glass_split=glass)
+                       # BOTH room palettes map slot 8 (GLASS) — room.vox
+                       # uses it for the floor (palette index = material id,
+                       # scene.cpp:516); without the split those pixels
+                       # compile to black (round-2 artifact finding)
+                       whitted_glass_split=True)
     return scene, cfg
 
 
