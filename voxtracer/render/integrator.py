@@ -298,9 +298,10 @@ def material_exit_world(scene: SceneData, o, d, vol_idx, mode_code, mask):
     d3 = d if not isinstance(d, tuple) else cstack(d)
     n = o3.shape[0]
     # the exit kernel holds BOTH exit-predicate planes in VMEM
-    # (2*V*M^3*16 words); above ~12 volumes that overflows the 16 MB
-    # scoped budget (measured: city V=17 -> 16.16M) — fall back to XLA
-    if _use_pallas(scene) and scene.volumes.n <= 12:
+    # (2*V*M^3 rows of 16 words = 64*V KiB at M=8); cap where that plus
+    # buffering approaches the 16 MB scoped budget (city V=17 verified OK
+    # after the read-rows-at-use-time fix)
+    if _use_pallas(scene) and scene.volumes.n <= 48:
         from voxtracer.kernels.pallas_dda import exit_pallas
 
         res = exit_pallas(*_vol_args(scene), o3, d3, mask, mode_code,

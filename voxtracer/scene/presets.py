@@ -71,7 +71,10 @@ def room_whitted(width=512, height=512, gridsize=128, glass=False):
     lights = make_lights(
         point=((0.5, 0.85, 0.5, 1.2, 1.2, 1.2), (0.15, 0.6, 0.2, 0.4, 0.4, 0.5)),
     )
-    cam = make_camera(pos=(0.5, 0.6, -0.9), target=(0.5, 0.35, 0.5), aspect=width / height)
+    # interior corner view (the round-1 camera sat OUTSIDE the room and
+    # photographed an unlit exterior wall — round-2 artifact finding)
+    cam = make_camera(pos=(0.15, 0.3, 0.15), target=(0.6, 0.1, 0.6),
+                      aspect=width / height)
     scene = _assemble(vols, mats, lights=lights, camera=cam)
     cfg = RenderConfig(width=width, height=height, mode="whitted",
                        max_bounces=3 if glass else 5,
