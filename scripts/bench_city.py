@@ -2,6 +2,7 @@
 """City (BASELINE config 5, 17 instances) forward bench at 1080p —
 records the multi-instance TLAS-scene number (VERDICT item 3).
 Also measures the dense-vs-BVH candidate paths head to head."""
+import dataclasses
 import os
 import sys
 import time
@@ -12,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from voxtracer.render.integrator import render_tiled
+from voxtracer.render.integrator import _render_banded
 from voxtracer.scene.presets import city_path
 
 W, H = 1920, 1080
@@ -37,19 +38,13 @@ def main():
     key = jax.random.PRNGKey(0)
     print("volumes:", scene.volumes.n, flush=True)
 
-    t = pull_timed("city 1080p path fwd (dense)",
-                   lambda i: render_tiled(scene, cfg,
-                                          jax.random.fold_in(key, i), 1, 1))
+    def once(i, c):
+        return np.asarray(jnp.mean(_render_banded(
+            scene, c, jax.random.fold_in(key, i), 1, 1)))
 
-    # BVH-candidate path (opt-in env; measured for the record)
-    os.environ["VOXTRACER_TLAS"] = "1"
-    try:
-        pull_timed("city 1080p path fwd (TLAS BVH)",
-                   lambda i: render_tiled(scene, cfg,
-                                          jax.random.fold_in(key, 77 + i),
-                                          1, 1))
-    finally:
-        del os.environ["VOXTRACER_TLAS"]
+    pull_timed("city 1080p path fwd (dense)", lambda i: once(i, cfg))
+    cfg_bvh = dataclasses.replace(cfg, use_tlas_bvh=True)
+    pull_timed("city 1080p path fwd (TLAS BVH)", lambda i: once(i, cfg_bvh))
 
 
 if __name__ == "__main__":

@@ -44,7 +44,7 @@ def render_sharded(scene, cfg, key, spp: int, mesh: Mesh):
     from voxtracer.render.camera import primary_rays
     from voxtracer.render.integrator import (
         _albedo, _pixel_grid, find_nearest_world, render_sample,
-        trace_path, trace_whitted)
+        trace_path, trace_whitted_iter)
     from voxtracer.render.sky import sample_sky
 
     n_dev = mesh.devices.size
@@ -80,7 +80,7 @@ def render_sharded(scene, cfg, key, spp: int, mesh: Mesh):
                 sky = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
                 val = jnp.where(rec["hit"][:, None], _albedo(scene, rec["mat"]), sky)
             elif cfg.mode == "whitted":
-                val = trace_whitted(scene, cfg, o, d, cfg.max_bounces)
+                val = trace_whitted_iter(scene, cfg, o, d, cfg.max_bounces)
             else:
                 val = trace_path(scene, cfg, o, d, k)
             return acc + val, None
