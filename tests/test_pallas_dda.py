@@ -123,3 +123,27 @@ def test_exit_parity(seed):
         np.testing.assert_allclose(np.asarray(ref[c])[iv],
                                    np.asarray(new[c])[iv],
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_compact_descend_parity():
+    """The host-compacted occupied-brick tables (occ_slot/occ_rows0) give
+    bit-identical results to the dense identity slot map."""
+    rng = np.random.default_rng(12)
+    vols = _rand_scene(rng, nvol=3)
+    o, d = _rand_rays(rng, n=N)
+    n = o.shape[0]
+    act = jnp.ones(n, bool)
+    tl = jnp.full(n, dda.BIG, jnp.float32)
+    ven = jnp.ones(vols.n, bool)
+    kw = dict(occ=jnp.asarray(vols.occ),
+              bricksize=jnp.asarray(vols.bricksize))
+
+    dense = traverse_pallas(*_args(vols), o, d, tl, act, ven, **kw,
+                            mode="nearest", interpret=True)
+    comp = traverse_pallas(*_args(vols), o, d, tl, act, ven, **kw,
+                           mode="nearest", interpret=True,
+                           occ_slot=jnp.asarray(vols.occ_slot),
+                           occ_rows0=jnp.asarray(vols.occ_rows0))
+    for f in ("hit", "t", "cell", "vol", "nx", "ny", "nz"):
+        np.testing.assert_array_equal(np.asarray(dense[f]),
+                                      np.asarray(comp[f]), err_msg=f)

@@ -144,6 +144,13 @@ class VoxVolumes:
     tlas_first: np.ndarray = None  # [M] i32
     tlas_count: np.ndarray = None  # [M] i32
     tlas_order: np.ndarray = None  # [V] i32
+    # compacted plane-0 occupancy for the Pallas traversal: most bricks are
+    # empty, so the descend fetch chains over occupied rows only (measured:
+    # monu 16 -> 5 chain blocks, city 68 -> 8).  occ_slot maps brick ->
+    # compact row; occ_rows0 holds the occupied bricks' 512-bit rows,
+    # padded to a multiple of 128.
+    occ_slot: np.ndarray = None  # [V, M^3] i32
+    occ_rows0: np.ndarray = None  # [Bpad, 16] i32
 
     @property
     def n(self) -> int:

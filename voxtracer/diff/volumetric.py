@@ -401,7 +401,8 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
         # margin derives from the CURRENT minimum occupied density
         # (stop-gradient), so unsaturated parameter states fall back
         # toward the full span gracefully.
-        from voxtracer.render.integrator import (_occ_args, _use_pallas,
+        from voxtracer.render.integrator import (_pallas_occ_args,
+                                                 _occ_args, _use_pallas,
                                                  _vol_args)
 
         occ_cells = scene.volumes.grids.reshape(-1) != MAT_NONE
@@ -415,7 +416,7 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
             from voxtracer.kernels.pallas_dda import traverse_pallas
 
             rec = traverse_pallas(*_vol_args(scene), o, d, tlim, valid, ven,
-                                  **_occ_args(scene), mode="nearest")
+                                  **_pallas_occ_args(scene), mode="nearest")
         else:
             from voxtracer.kernels import dda_occ
 

@@ -97,18 +97,21 @@ def _next_after(t):
 # --------------------------------------------------------------------------
 
 def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
-                 m3: int, nb_occ: int, nb_bm: int, inner: int,
+                 m3: int, nb_slot: int, nbc: int, nb_bm: int, inner: int,
                  max_outer: int, macro_pre: int = 2):
     """Kernel body builder.  Static geometry:
       v volumes; b sublane rows per block; side = padded grid side;
       mside = padded brick-grid side; m3 = mside^3;
-      nb_occ = ceil(v*m3/128) chain blocks for the cell-word tables;
+      nb_slot = ceil(v*m3/128) chain blocks for the brick->slot map;
+      nbc = chain blocks for the COMPACTED occupied-brick word tables
+      (descend fetches chain over occupied rows only);
       nb_bm  = ceil(ceil(v*m3/32)/128) blocks for the brick mask."""
     is_occl = mode == "occluded"
     g3 = side ** 3
 
     def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,
-               act_ref, vid_ref, t0s_ref, vtab_ref, occw_ref, bm_ref,
+               act_ref, vid_ref, t0s_ref, vtab_ref, slot_ref, comp_ref,
+               bm_ref,
                hit_ref, t_ref, vol_ref, gidx_ref, nx_ref, ny_ref, nz_ref):
         shape = (b, 128)
         wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
@@ -121,8 +124,11 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
         # all rows as values keeps V*M^3 words live across the while body
         # and blows the 16 MB scoped-VMEM budget at large V (measured:
         # city V=17 spilled to 16.16M and failed to compile)
-        def occ_row(w, k):
-            return occw_ref[w, k]
+        def slot_row(k):
+            return slot_ref[0, k]
+
+        def comp_row(w, k):
+            return comp_ref[w, k]
 
         def bm_row(k):
             return bm_ref[0, k]
@@ -277,9 +283,13 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
             skip = at_m & ~occ_bit
 
             # ---- 3. descend: fetch the brick's 512 bits + seed fine ----
+            # two-level fetch: brick -> compact slot (occupied rows only),
+            # then 16 words chained over the COMPACT table — ~3x (monu) to
+            # ~8x (city) fewer chain blocks than the dense row space
+            slot = _gchain_ref(slot_row, grow, nb_slot)
             words = []
             for j in range(16):
-                wj = _gchain_ref(lambda k, j=j: occ_row(j, k), grow, nb_occ)
+                wj = _gchain_ref(lambda k, j=j: comp_row(j, k), slot, nbc)
                 wj = jnp.where(descend, wj, st[f"w{j}"])
                 st[f"w{j}"] = wj
                 words.append(wj)
@@ -784,8 +794,13 @@ def _pad_to(x, m, axis=0, fill=0):
     return jnp.pad(x, widths, constant_values=fill)
 
 
-def _prep_tables(gridsize, inv, fwd, cube_min, occ, bricksize, plane):
-    """Pack per-volume constants + occupancy into kernel VMEM tables."""
+def _prep_tables(gridsize, inv, fwd, cube_min, occ, bricksize, plane,
+                 occ_slot=None, occ_rows0=None):
+    """Pack per-volume constants + occupancy into kernel VMEM tables.
+
+    With occ_slot/occ_rows0 (host-compacted occupied-brick rows,
+    scene/instances.py) the descend word tables chain over occupied rows
+    only; otherwise the slot map is the identity over the dense space."""
     v = gridsize.shape[0]
     m3 = occ.shape[2]
     # vtab [26, 128]: 12 inv rows, 9 fwd rows, 3 cube_min, gs_f, ms_f
@@ -799,9 +814,17 @@ def _prep_tables(gridsize, inv, fwd, cube_min, occ, bricksize, plane):
     vtab = _pad_to(vtab, 128, axis=1)
 
     occp = occ[plane].reshape(v * m3, 16)  # [V*M3, 16]
-    rows = _pad_to(occp, 128, axis=0)
-    nb_occ = rows.shape[0] // 128
-    occw = rows.T.reshape(16, nb_occ, 128)
+    if occ_rows0 is not None and plane == OCC_ANY:
+        slot_flat = occ_slot.reshape(-1)
+        comp_rows = occ_rows0
+    else:
+        slot_flat = jnp.arange(v * m3, dtype=I32)
+        comp_rows = _pad_to(occp, 128, axis=0)
+    slot_flat = _pad_to(slot_flat, 128, axis=0)
+    nb_slot = slot_flat.shape[0] // 128
+    slot = slot_flat.reshape(1, nb_slot, 128)
+    nbc = comp_rows.shape[0] // 128
+    comp = comp_rows.T.reshape(16, nbc, 128)
 
     # brick-occupied bitmask: bit (vol*m3+brick) set iff any cell word != 0
     nz = jnp.any(occp != 0, axis=1).astype(jnp.int32)  # [V*M3]
@@ -812,7 +835,7 @@ def _prep_tables(gridsize, inv, fwd, cube_min, occ, bricksize, plane):
     bmw = _pad_to(bmw, 128, axis=0)
     nb_bm = bmw.shape[0] // 128
     bm = bmw.reshape(1, nb_bm, 128)
-    return vtab, occw, nb_occ, bm, nb_bm
+    return vtab, slot, nb_slot, comp, nbc, bm, nb_bm
 
 
 @partial(jax.jit, static_argnames=("mode", "max_outer", "inner",
@@ -821,7 +844,7 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                     ray_active, vol_enabled, occ, bricksize,
                     mode="nearest", max_outer=4096, inner=INNER,
                     block_rows=8, interpret=None, cand_mask=None,
-                    macro_pre=2):
+                    macro_pre=2, occ_slot=None, occ_rows0=None):
     """Pallas traversal, drop-in for dda_occ.traverse_occ_topk
     (modes nearest / occluded).  Returns the same per-ray dicts.
 
@@ -837,8 +860,9 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
     m3 = occ.shape[2]
     mside = round(m3 ** (1.0 / 3.0))
 
-    vtab, occw, nb_occ, bm, nb_bm = _prep_tables(
-        gridsize, inv, fwd, cube_min, occ, bricksize, OCC_ANY)
+    vtab, slot, nb_slot, comp, nbc, bm, nb_bm = _prep_tables(
+        gridsize, inv, fwd, cube_min, occ, bricksize, OCC_ANY,
+        occ_slot=occ_slot, occ_rows0=occ_rows0)
 
     # entry-ordered candidates (stable sort keeps original-volume order on
     # exact entry-t ties — the earliest-volume tie-break needs it)
@@ -867,7 +891,7 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
            rays2d(d[:, 0]), rays2d(d[:, 1]), rays2d(d[:, 2]),
            rays2d(t_limit, BIG), rays2d(ray_active.astype(I32)),
            cand4d(id_sorted, 0), cand4d(t0_sorted, BIG),
-           vtab, occw, bm]
+           vtab, slot, comp, bm]
 
     ray_spec = pl.BlockSpec((1, block_rows, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -880,8 +904,8 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
         return pl.BlockSpec(x.shape, lambda i: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(mode, v, block_rows, side, mside, m3, nb_occ,
-                          nb_bm, inner, max_outer, macro_pre)
+    kernel = _make_kernel(mode, v, block_rows, side, mside, m3, nb_slot,
+                          nbc, nb_bm, inner, max_outer, macro_pre)
 
     out_shapes = [jax.ShapeDtypeStruct((nblk, block_rows, 128), dt)
                   for dt in (I32, F32, I32, I32, F32, F32, F32)]
@@ -889,7 +913,7 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
         kernel,
         grid=(nblk,),
         in_specs=[ray_spec] * 8 + [cand_spec] * 2
-                 + [full(vtab), full(occw), full(bm)],
+                 + [full(vtab), full(slot), full(comp), full(bm)],
         out_specs=[ray_spec] * 7,
         out_shape=out_shapes,
         interpret=interpret,

@@ -159,6 +159,14 @@ def _occ_args(scene: SceneData):
     return dict(occ=v.occ, bricksize=v.bricksize)
 
 
+def _pallas_occ_args(scene: SceneData):
+    """_occ_args + the host-compacted occupied-brick tables the Pallas
+    traversal's descend fetch chains over (kernels/pallas_dda.py)."""
+    v = scene.volumes
+    return dict(occ=v.occ, bricksize=v.bricksize, occ_slot=v.occ_slot,
+                occ_rows0=v.occ_rows0)
+
+
 def _topk(scene: SceneData) -> int:
     """Candidate-volume budget per ray per round (kernels/dda_occ.py):
     lockstep traversal cost scales with pairs, so compact to the K
@@ -224,7 +232,7 @@ def find_nearest_world(scene: SceneData, o, d, active,
 
         res = traverse_pallas(*_vol_args(scene), o3, d3,
                               jnp.full(n, BIG, F32), active, vol_enabled,
-                              **_occ_args(scene), mode="nearest",
+                              **_pallas_occ_args(scene), mode="nearest",
                               cand_mask=cand)
     elif no_skip:
         res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3,
@@ -276,7 +284,7 @@ def is_occluded_world(scene: SceneData, o, d, t_limit, active,
 
         res = traverse_pallas(*_vol_args(scene), o3, d3, t_limit, active,
                               jnp.ones(scene.volumes.n, bool),
-                              **_occ_args(scene), mode="occluded",
+                              **_pallas_occ_args(scene), mode="occluded",
                               cand_mask=cand)
     else:
         res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3, t_limit,

@@ -141,10 +141,23 @@ def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVo
 
     lo, hi = instance_world_aabbs(vols)
     bvh = build_tlas(lo, hi)
+
+    # compacted plane-0 occupancy rows (kernels/pallas_dda.py descend path)
+    occ0 = vols.occ[0].reshape(v * mmax ** 3, 16)
+    nz = (occ0 != 0).any(axis=1)
+    slots = np.zeros(occ0.shape[0], np.int32)
+    slots[nz] = np.arange(int(nz.sum()), dtype=np.int32)
+    rows0 = occ0[nz]
+    pad = (-rows0.shape[0]) % 128
+    if pad or rows0.shape[0] == 0:
+        rows0 = np.concatenate(
+            [rows0, np.zeros((pad or 128, 16), np.int32)], axis=0)
     return vols.replace(
         tlas_nmin=bvh["nmin"], tlas_nmax=bvh["nmax"], tlas_left=bvh["left"],
         tlas_first=bvh["first"], tlas_count=bvh["count"],
-        tlas_order=bvh["order"].astype(np.int32))
+        tlas_order=bvh["order"].astype(np.int32),
+        occ_slot=slots.reshape(v, mmax ** 3),
+        occ_rows0=rows0)
 
 
 def make_spheres(items=()) -> Spheres:
