@@ -64,7 +64,7 @@ def main():
     tiles = int(os.environ.get("BENCH_TILES", 1))
     # backward: union-span relaxed march over the occupied-brick span
     # (scripts/bench_bwd.py sweep)
-    diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 14))
+    diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 12))
     span_steps = int(os.environ.get("BENCH_SPAN_STEPS", 1))
     tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 2))
 

@@ -69,7 +69,7 @@ def room_whitted(width=512, height=512, gridsize=128, glass=False):
     mats = apply_palette_updates(mats, updates)
     vols = build_volumes([VolumeSpec(position=(0, 0, 0), gridsize=gridsize, grid=grid)])
     lights = make_lights(
-        point=((0.5, 0.85, 0.5, 1.2, 1.2, 1.2), (0.15, 0.6, 0.2, 0.4, 0.4, 0.5)),
+        point=((0.5, 0.85, 0.5, 4.0, 4.0, 4.0), (0.15, 0.6, 0.2, 1.5, 1.5, 1.8)),
     )
     # interior corner view (the round-1 camera sat OUTSIDE the room and
     # photographed an unlit exterior wall — round-2 artifact finding)
