@@ -37,7 +37,7 @@ def to_png(img, name):
     write_png(os.path.join(ART, name), rgb)
 
 
-def main(size=96, steps=200, n_march=48):
+def main(size=96, steps=2000, n_march=48):
     scene, cfg = presets.teapot_primary(width=size, height=size, gridsize=64)
     import dataclasses
 
@@ -63,7 +63,8 @@ def main(size=96, steps=200, n_march=48):
     to_png(render_diff(init, scene, cfg, key, n_steps=n_march,
                        density_scale=512.0), "inverse_init.png")
 
-    opt = optax.adam(3e-2)
+    sched = optax.cosine_decay_schedule(5e-2, steps, alpha=0.05)
+    opt = optax.adam(sched)
 
     @jax.jit
     def step(params, opt_state):
@@ -76,7 +77,7 @@ def main(size=96, steps=200, n_march=48):
     t0 = time.time()
     for i in range(steps):
         params, opt_state, loss = step(params, opt_state)
-        if i % 25 == 0 or i == steps - 1:
+        if i % 250 == 0 or i == steps - 1:
             print(f"iter {i:4d}  loss {float(loss):.6f}  "
                   f"({time.time()-t0:.0f}s)", flush=True)
     final_loss = float(loss)
