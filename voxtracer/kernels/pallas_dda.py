@@ -98,7 +98,7 @@ def _next_after(t):
 
 def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                  m3: int, nb_slot: int, nbc: int, nb_bm: int, inner: int,
-                 max_outer: int, macro_pre: int = 2):
+                 max_outer: int, macro_pre: int = 1):
     """Kernel body builder.  Static geometry:
       v volumes; b sublane rows per block; side = padded grid side;
       mside = padded brick-grid side; m3 = mside^3;
@@ -844,7 +844,7 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                     ray_active, vol_enabled, occ, bricksize,
                     mode="nearest", max_outer=4096, inner=INNER,
                     block_rows=8, interpret=None, cand_mask=None,
-                    macro_pre=2, occ_slot=None, occ_rows0=None):
+                    macro_pre=1, occ_slot=None, occ_rows0=None):
     """Pallas traversal, drop-in for dda_occ.traverse_occ_topk
     (modes nearest / occluded).  Returns the same per-ray dicts.
 
