@@ -201,3 +201,32 @@ def test_span_march_bench_settings_consistency(teapot_small):
     diff = np.abs(hard - soft).max(-1)
     assert (diff < 0.08).mean() > 0.83, f"{(diff >= 0.08).mean():.1%} differ"
     assert np.median(diff) < 1e-2
+
+
+def test_inverse_demo_micro(teapot_small):
+    """Micro version of scripts/demo_inverse.py: a few optimization steps
+    reduce the loss (the differentiable path drives real optimization)."""
+    import optax
+
+    scene, cfg = teapot_small
+    key = jax.random.PRNGKey(0)
+    true_params = params_from_scene(scene)
+    target = render_diff(true_params, scene, cfg, key, n_steps=16)
+    init = DiffParams(
+        density_logits=jnp.full_like(true_params.density_logits, -2.0),
+        albedo_table=jnp.full_like(true_params.albedo_table, 0.5))
+    opt = optax.adam(5e-2)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, g = jax.value_and_grad(mse_loss)(params, scene, cfg, target,
+                                               key, 16)
+        upd, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    params, opt_state = init, opt.init(init)
+    losses = []
+    for _ in range(40):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]

@@ -991,11 +991,15 @@ def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
         is_model = (mat > EMISSIVE) & (mat != MAT_NONE)
         is_diffuse = (mat < METAL_HIGH) | is_model
 
-        # medium march
+        # medium march (cond-skipped on iterations with no rays in a medium)
         march = live_hit & in_glass & (is_glass_m | is_smoke) & (vol >= 0)
         mode_code = jnp.where(is_glass_m, dda.EXIT_GLASS, dda.EXIT_SMOKE)
-        in_vol, t_exit, nrm_exit = material_exit_world(scene, to, td, vol,
-                                                       mode_code, march)
+        in_vol, t_exit, nrm_exit = jax.lax.cond(
+            jnp.any(march),
+            lambda a: material_exit_world(scene, *a),
+            lambda a: (jnp.zeros(n, bool), jnp.zeros(n, F32),
+                       (jnp.zeros(n, F32),) * 3),
+            (to, td, vol, mode_code, march))
         t = jnp.where(march, t_exit, t)
         nrm = cwhere(march & in_vol, nrm_exit, nrm)
         fell = march & ~in_vol
