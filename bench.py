@@ -97,14 +97,18 @@ def main():
     log(f"diff pair compaction k={diff_k} of V={scene.volumes.n}; "
         f"union-span march steps={diff_steps} span={span_steps}")
 
+    from voxtracer.diff.volumetric import mse_loss
+
+    @jax.jit
     def full_grad(k):
+        # ONE dispatch for all bands + the accumulation (each ~25 ms tunnel
+        # round trip otherwise); the caller's scalar pull forces completion
         total = None
         for b in range(tiles_bwd):
             row0 = jnp.float32(min(b * rows, HEIGHT - rows))
-            g = grad_fn(params, scene, cfg, target_band, k, diff_steps,
-                        row0=row0, rows=rows, k=diff_k,
-                        span_steps=span_steps)
-            np.asarray(g.albedo_table[:1, :1])
+            g = jax.grad(mse_loss)(params, scene, cfg, target_band, k,
+                                   diff_steps, row0=row0, rows=rows,
+                                   k=diff_k, span_steps=span_steps)
             total = g if total is None else jax.tree.map(jnp.add, total, g)
         return total
 
