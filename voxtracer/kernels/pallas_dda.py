@@ -98,7 +98,7 @@ def _next_after(t):
 
 def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                  m3: int, nb_slot: int, nbc: int, nb_bm: int, inner: int,
-                 max_outer: int, macro_pre: int = 1):
+                 max_outer: int, macro_pre: int = 1, count_iters: bool = False):
     """Kernel body builder.  Static geometry:
       v volumes; b sublane rows per block; side = padded grid side;
       mside = padded brick-grid side; m3 = mside^3;
@@ -466,7 +466,10 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
         hit_ref[0] = h.astype(I32)
         t_ref[0] = jnp.where(h, st["best_t"], BIG)
         vol_ref[0] = jnp.where(h, st["best_vol"], -2)
-        gidx_ref[0] = st["best_gidx"]
+        # count_iters: perf instrumentation — report the block's while-trip
+        # count (the whole block pays the worst lane) instead of cell ids
+        gidx_ref[0] = (jnp.broadcast_to(st["outer"], shape)
+                       if count_iters else st["best_gidx"])
         nx_ref[0] = jnp.where(h, wx * inv_len, 0.0)
         ny_ref[0] = jnp.where(h, wy * inv_len, 0.0)
         nz_ref[0] = jnp.where(h, wz * inv_len, 0.0)
@@ -839,12 +842,14 @@ def _prep_tables(gridsize, inv, fwd, cube_min, occ, bricksize, plane,
 
 
 @partial(jax.jit, static_argnames=("mode", "max_outer", "inner",
-                                   "block_rows", "interpret", "macro_pre"))
+                                   "block_rows", "interpret", "macro_pre",
+                                   "count_iters"))
 def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                     ray_active, vol_enabled, occ, bricksize,
                     mode="nearest", max_outer=4096, inner=INNER,
                     block_rows=8, interpret=None, cand_mask=None,
-                    macro_pre=1, occ_slot=None, occ_rows0=None):
+                    macro_pre=1, occ_slot=None, occ_rows0=None,
+                    count_iters=False):
     """Pallas traversal, drop-in for dda_occ.traverse_occ_topk
     (modes nearest / occluded).  Returns the same per-ray dicts.
 
@@ -905,7 +910,8 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                             memory_space=pltpu.VMEM)
 
     kernel = _make_kernel(mode, v, block_rows, side, mside, m3, nb_slot,
-                          nbc, nb_bm, inner, max_outer, macro_pre)
+                          nbc, nb_bm, inner, max_outer, macro_pre,
+                          count_iters)
 
     out_shapes = [jax.ShapeDtypeStruct((nblk, block_rows, 128), dt)
                   for dt in (I32, F32, I32, I32, F32, F32, F32)]
@@ -925,10 +931,13 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
         return dict(hit=sg(hit_i != 0))
     hitm = hit_i != 0
     mat = jnp.take(grids_flat, gidx, mode="clip")
-    return dict(
+    out = dict(
         hit=sg(hitm),
         t=sg(t),
         cell=sg(jnp.where(hitm, mat, MAT_NONE)),
         vol=sg(vol),
         nx=sg(nx), ny=sg(ny), nz=sg(nz),
     )
+    if count_iters:
+        out["iters"] = sg(gidx)  # per-ray copy of its block's trip count
+    return out

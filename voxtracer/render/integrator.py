@@ -40,6 +40,7 @@ from voxtracer.core.types import (
     SceneData,
 )
 from voxtracer.kernels import dda, dda_occ
+from voxtracer.kernels.lookup import lookup_rows
 from voxtracer.kernels.primitives import (
     spheres_nearest,
     spheres_occluded,
@@ -417,12 +418,16 @@ def _area_contribution(scene, cfg, p, nrm, alb, idx, active, key):
     return cmul(cscale(1.0 / cfg.num_area_samples, acc), alb)
 
 
-def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key):
+def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key,
+                 alb=None):
     """Renderer::Illumination (renderer.cpp:738-764): one random light
     scaled by lightCount, or the deterministic all-lights sum (same
     expectation) when cfg.deterministic_lights.
 
     p, nrm: component tuples (or [N, 3] arrays — auto-converted).
+    alb: optional precomputed albedo component tuple — callers that already
+    gathered material rows pass it to skip a redundant 2M-row take
+    (~13 ms/bounce at 1080p, round-3 ablation).
     Returns a component tuple."""
     if not isinstance(p, tuple):
         p = cpack(p)
@@ -431,7 +436,8 @@ def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key):
     L = scene.lights
     n_p, n_a, n_s = L.n_point, L.n_area, L.n_spot
     total = L.count
-    alb = _albedo_c(scene, mat)
+    if alb is None:
+        alb = _albedo_c(scene, mat)
     nrays = p[0].shape[0]
     zero = (jnp.zeros(nrays, F32),) * 3
 
@@ -546,20 +552,25 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
     in_glass = jnp.where(rec["prim_adopt"], rec["prim_inside"],
                          st["in_glass"])
 
-    # miss -> sky, terminate (renderer.cpp:1092-1095)
+    # miss -> sky, terminate (renderer.cpp:1092-1095).  The sky take is
+    # DEFERRED: each ray records (throughput, direction) at its miss and
+    # trace_path evaluates the texture ONCE per frame instead of once per
+    # bounce (the 2M-row gather costs ~14 ms; rays miss at most once, so
+    # the sum is bitwise identical).
     miss = active & (mat == MAT_NONE)
-    sky = _sky_c(scene, cfg, d)
-    rad = cwhere(miss, cadd(st["rad"], cmul(st["tp"], sky)), st["rad"])
+    sky_tp = cwhere(miss, st["tp"], st["sky_tp"])
+    sky_d = cwhere(miss, d, st["sky_d"])
+    rad = st["rad"]
     active = active & ~miss
 
-    # one [256, 6] row gather for all material properties (2.6 ns vs
-    # 4 separate takes at 7.2 ns each, PERF_NOTES.md)
+    # one [256, 6] row gather for all material properties, served from
+    # VMEM by the Pallas lookup kernel (~0.1 ms vs ~13 ms XLA take)
     mtab = jnp.concatenate(
         [scene.materials.albedo,
          scene.materials.roughness[:, None],
          scene.materials.emissive[:, None],
          scene.materials.ior[:, None]], axis=1)
-    mrow = jnp.take(mtab, mat, axis=0, mode="clip")
+    mrow = lookup_rows(mtab, mat)
     alb = (mrow[:, 0], mrow[:, 1], mrow[:, 2])
     rough, emis, ior = mrow[:, 3], mrow[:, 4], mrow[:, 5]
 
@@ -604,7 +615,7 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
         # renderer.cpp:1437-1450
         lk_mask = active & is_smoke & (vol == 0)
         lk = illumination(scene, cfg, p_hit, nrm, mat, lk_mask,
-                          jax.random.fold_in(bkey, 9))
+                          jax.random.fold_in(bkey, 9), alb=alb)
         in_light = in_light | (lk_mask
                                & (cdot(lk, lk) > cfg.light_kill_threshold))
 
@@ -614,7 +625,7 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
     go_diffuse = u_lobe > mathx.schlick_nonmetal(cos_in)
     nee_mask = active & ((is_nonmetal & go_diffuse) | is_model)
     inc = illumination(scene, cfg, p_hit, nrm, mat, nee_mask,
-                       jax.random.fold_in(bkey, 2))
+                       jax.random.fold_in(bkey, 2), alb=alb)
     # nonmetal: rad += T * inc ; model: rad += T * alb * inc
     rad = cwhere(nee_mask & is_nonmetal, cadd(rad, cmul(st["tp"], inc)), rad)
     rad = cwhere(nee_mask & is_model,
@@ -688,8 +699,16 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
         o=cwhere(new_active, new_o, o),
         d=cwhere(new_active, new_d, d),
         tp=tp, rad=rad, in_glass=new_in_glass, active=new_active,
-        in_light=in_light,
+        in_light=in_light, sky_tp=sky_tp, sky_d=sky_d,
     )
+
+
+def _apply_deferred_sky(scene, cfg, st):
+    """rad += sky_tp * sky(sky_d): the single per-frame sky texture take
+    the bounce loop deferred (bitwise equal to per-bounce adds — a ray
+    misses at most once and receives nothing afterwards)."""
+    sky = _sky_c(scene, cfg, st["sky_d"])
+    return cadd(st["rad"], cmul(st["sky_tp"], sky))
 
 
 def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key,
@@ -706,6 +725,7 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key,
         in_glass=jnp.zeros(n, bool),
         active=jnp.ones(n, bool),
         in_light=jnp.zeros(n, bool),
+        sky_tp=zero3, sky_d=cpack(d),
     )
 
     if (cfg.compact_chunks > 1 and n >= cfg.compact_min
@@ -726,9 +746,10 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key,
         return (depth < cfg.max_bounces + 1) & jnp.any(st["active"])
 
     st, _ = jax.lax.while_loop(cond, bounce, (state, jnp.int32(0)))
+    rad = _apply_deferred_sky(scene, cfg, st)
     if return_aux:
-        return cstack(st["rad"]), dict(in_light=st["in_light"])
-    return cstack(st["rad"])
+        return cstack(rad), dict(in_light=st["in_light"])
+    return cstack(rad)
 
 
 def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
@@ -741,7 +762,7 @@ def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
     is 100/61/28/21/18% per bounce (scripts/probe_active.py), so bounces
     2+ run at 1-2 chunks instead of `chunks`.
 
-    State rides in ONE packed [n, 16] f32 matrix so the per-bounce
+    State rides in ONE packed [n, 22] f32 matrix so the per-bounce
     permutation is a single 2-D row gather (~2.6 ns/row vs 16 separate 1-D
     takes at 7.2 ns each, PERF_NOTES.md): columns 0-2 o, 3-5 d, 6-8
     throughput, 9-11 radiance, 12 in_glass, 13 active, 14 original ray id
@@ -752,7 +773,8 @@ def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
         cols = (list(st["o"]) + list(st["d"]) + list(st["tp"])
                 + list(st["rad"])
                 + [st["in_glass"].astype(F32), st["active"].astype(F32), pix,
-                   st["in_light"].astype(F32)])
+                   st["in_light"].astype(F32)]
+                + list(st["sky_tp"]) + list(st["sky_d"]))
         return jnp.stack(cols, axis=1)
 
     def unpack(pk):
@@ -763,6 +785,8 @@ def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
             rad=(pk[:, 9], pk[:, 10], pk[:, 11]),
             in_glass=pk[:, 12] > 0.5, active=pk[:, 13] > 0.5,
             in_light=pk[:, 15] > 0.5,
+            sky_tp=(pk[:, 16], pk[:, 17], pk[:, 18]),
+            sky_d=(pk[:, 19], pk[:, 20], pk[:, 21]),
         ), pk[:, 14]
 
     packed0 = pack(state, jnp.arange(n, dtype=F32))
@@ -798,8 +822,10 @@ def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
         return (depth < cfg.max_bounces + 1) & jnp.any(pk[:, 13] > 0.5)
 
     pk, _ = jax.lax.while_loop(cond, outer, (packed0, jnp.int32(0)))
-    pix = pk[:, 14].astype(jnp.int32)
-    rad = jnp.zeros((n, 3), F32).at[pix].set(pk[:, 9:12])
+    st_f, pixf = unpack(pk)
+    radc = cstack(_apply_deferred_sky(scene, cfg, st_f))
+    pix = pixf.astype(jnp.int32)
+    rad = jnp.zeros((n, 3), F32).at[pix].set(radc)
     in_light = jnp.zeros(n, bool).at[pix].set(pk[:, 15] > 0.5)
     return rad, dict(in_light=in_light)
 
