@@ -147,3 +147,34 @@ def test_compact_descend_parity():
     for f in ("hit", "t", "cell", "vol", "nx", "ny", "nz"):
         np.testing.assert_array_equal(np.asarray(dense[f]),
                                       np.asarray(comp[f]), err_msg=f)
+
+
+@pytest.mark.parametrize("seed,nvol", [(5, 3), (6, 4)])
+def test_nearest_palette_parity(seed, nvol):
+    """In-kernel palette material fetch == XLA take(grids_flat, gidx)
+    (pal/pal_rows0 from scene/instances.py build_palette_rows)."""
+    rng = np.random.default_rng(seed)
+    vols = _rand_scene(rng, nvol=nvol)
+    assert vols.pal is not None
+    o, d = _rand_rays(rng, n=N)
+    n = o.shape[0]
+    act = jnp.ones(n, bool)
+    tl = jnp.full(n, dda.BIG, jnp.float32)
+    ven = jnp.ones(vols.n, bool)
+    kw = dict(occ=jnp.asarray(vols.occ),
+              bricksize=jnp.asarray(vols.bricksize))
+
+    comp = dict(occ_slot=jnp.asarray(vols.occ_slot),
+                occ_rows0=jnp.asarray(vols.occ_rows0))
+    ref = traverse_pallas(*_args(vols), o, d, tl, act, ven, **kw, **comp,
+                          mode="nearest", interpret=True)
+    new = traverse_pallas(*_args(vols), o, d, tl, act, ven, **kw, **comp,
+                          mode="nearest", interpret=True,
+                          pal=jnp.asarray(vols.pal),
+                          pal_rows0=jnp.asarray(vols.pal_rows0))
+    np.testing.assert_array_equal(np.asarray(ref["hit"]),
+                                  np.asarray(new["hit"]))
+    np.testing.assert_array_equal(np.asarray(ref["cell"]),
+                                  np.asarray(new["cell"]))
+    np.testing.assert_array_equal(np.asarray(ref["vol"]),
+                                  np.asarray(new["vol"]))

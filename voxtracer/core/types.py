@@ -151,6 +151,14 @@ class VoxVolumes:
     # padded to a multiple of 128.
     occ_slot: np.ndarray = None  # [V, M^3] i32
     occ_rows0: np.ndarray = None  # [Bpad, 16] i32
+    # per-volume <=16-entry material palette + 4-bit per-cell palette ranks
+    # packed per occupied brick (same compaction/slot space as occ_rows0):
+    # lets the Pallas traversal return the hit MATERIAL directly and kills
+    # the per-bounce 2M-row XLA `take(grids_flat, gidx)` (~14 ms at 1080p).
+    # None when any volume exceeds 16 distinct materials (XLA take
+    # fallback keeps full generality).
+    pal: np.ndarray = None       # [V, 16] i32 material ids
+    pal_rows0: np.ndarray = None  # [Bpad, 64] i32, 8 ranks x 4 bits/word
 
     @property
     def n(self) -> int:

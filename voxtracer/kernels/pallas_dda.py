@@ -98,21 +98,34 @@ def _next_after(t):
 
 def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                  m3: int, nb_slot: int, nbc: int, nb_bm: int, inner: int,
-                 max_outer: int, macro_pre: int = 1, count_iters: bool = False):
+                 max_outer: int, macro_pre: int = 1, count_iters: bool = False,
+                 nbp: int = 0, nb_pal: int = 0):
     """Kernel body builder.  Static geometry:
       v volumes; b sublane rows per block; side = padded grid side;
       mside = padded brick-grid side; m3 = mside^3;
       nb_slot = ceil(v*m3/128) chain blocks for the brick->slot map;
       nbc = chain blocks for the COMPACTED occupied-brick word tables
       (descend fetches chain over occupied rows only);
-      nb_bm  = ceil(ceil(v*m3/32)/128) blocks for the brick mask."""
+      nb_bm  = ceil(ceil(v*m3/32)/128) blocks for the brick mask;
+      nbp/nb_pal > 0 enables the in-kernel material fetch: 4-bit palette
+      ranks per occupied brick (64 words, pal_rows0) + the [V,16] palette,
+      resolved ONCE per block in the epilogue — replaces the 2M-row XLA
+      take(grids_flat, gidx) (~14 ms/bounce at 1080p, PERF_NOTES.md)."""
     is_occl = mode == "occluded"
+    has_pal = nbp > 0 and not is_occl
     g3 = side ** 3
 
-    def kernel(ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,
-               act_ref, vid_ref, t0s_ref, vtab_ref, slot_ref, comp_ref,
-               bm_ref,
-               hit_ref, t_ref, vol_ref, gidx_ref, nx_ref, ny_ref, nz_ref):
+    def kernel(*refs):
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,
+         act_ref, vid_ref, t0s_ref, vtab_ref, slot_ref, comp_ref,
+         bm_ref) = refs[:14]
+        nin = 14
+        if has_pal:
+            palw_ref, pal16_ref = refs[14:16]
+            nin = 16
+        (hit_ref, t_ref, vol_ref, gidx_ref, nx_ref, ny_ref,
+         nz_ref) = refs[nin:nin + 7]
+        mat_ref = refs[nin + 7] if has_pal else None
         shape = (b, 128)
         wox, woy, woz = ox_ref[0], oy_ref[0], oz_ref[0]
         wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
@@ -168,6 +181,8 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
             outer=jnp.int32(0),
         )
         state.update({f"w{j}": zi for j in range(16)})
+        if has_pal:
+            state.update(best_slot=zi, best_bidx=zi)
 
         def body(st):
             st = dict(st)
@@ -328,6 +343,8 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
             hit = zb
             hit_t = zf
             hit_gidx = zi
+            hit_slot = zi
+            hit_bidx = zi
             go_macro = zb
             eff_tl = st["eff_tl"]
             for _ in range(inner):
@@ -340,6 +357,9 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                 hit_gidx = jnp.where(
                     pred, st["vol"] * g3 + (px * side + py) * side + pz,
                     hit_gidx)
+                if has_pal:
+                    hit_slot = jnp.where(pred, slot, hit_slot)
+                    hit_bidx = jnp.where(pred, bidx, hit_bidx)
                 act_f = act_f & ~pred
 
                 first = tmx < tmy
@@ -406,6 +426,11 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                 st["best_vol"] = jnp.where(better, st["vol"], st["best_vol"])
                 st["best_gidx"] = jnp.where(better, hit_gidx,
                                             st["best_gidx"])
+                if has_pal:
+                    st["best_slot"] = jnp.where(better, hit_slot,
+                                                st["best_slot"])
+                    st["best_bidx"] = jnp.where(better, hit_bidx,
+                                                st["best_bidx"])
 
             st["outer"] = st["outer"] + 1
             for nm in ("done", "walking", "level", "best_hit"):
@@ -468,8 +493,30 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
         vol_ref[0] = jnp.where(h, st["best_vol"], -2)
         # count_iters: perf instrumentation — report the block's while-trip
         # count (the whole block pays the worst lane) instead of cell ids
-        gidx_ref[0] = (jnp.broadcast_to(st["outer"], shape)
-                       if count_iters else st["best_gidx"])
+        # (with has_pal: the recorded slot/bidx pair, for parity debugging)
+        if count_iters:
+            gidx_ref[0] = (st["best_slot"] * 512 + st["best_bidx"]
+                           if has_pal else jnp.broadcast_to(st["outer"],
+                                                            shape))
+        else:
+            gidx_ref[0] = st["best_gidx"]
+
+        if has_pal:
+            # material fetch, ONCE per block: palette-rank word of the hit
+            # cell (64 static-word gathers over the compacted slot chain),
+            # then the [V,16] palette row
+            slot_h = st["best_slot"]
+            bidx_h = st["best_bidx"]
+            widx = bidx_h >> 3
+            w = jnp.zeros(shape, I32)
+            for j in range(64):
+                wj = _gchain_ref(lambda kk, j=j: palw_ref[j, kk], slot_h,
+                                 nbp)
+                w = jnp.where(widx == j, wj, w)
+            rank = jnp.right_shift(w, 4 * (bidx_h & 7)) & 15
+            pidx = jnp.maximum(st["best_vol"], 0) * 16 + rank
+            matv = _gchain_ref(lambda kk: pal16_ref[0, kk], pidx, nb_pal)
+            mat_ref[0] = jnp.where(h, matv, MAT_NONE)
         nx_ref[0] = jnp.where(h, wx * inv_len, 0.0)
         ny_ref[0] = jnp.where(h, wy * inv_len, 0.0)
         nz_ref[0] = jnp.where(h, wz * inv_len, 0.0)
@@ -849,12 +896,15 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                     mode="nearest", max_outer=4096, inner=INNER,
                     block_rows=8, interpret=None, cand_mask=None,
                     macro_pre=1, occ_slot=None, occ_rows0=None,
-                    count_iters=False):
+                    count_iters=False, pal=None, pal_rows0=None):
     """Pallas traversal, drop-in for dda_occ.traverse_occ_topk
     (modes nearest / occluded).  Returns the same per-ray dicts.
 
     cand_mask: optional [V, N] bool of possibly-hit pairs (e.g. from the
-    TLAS BVH walk, kernels/tlas.py) — pruned pairs never traverse."""
+    TLAS BVH walk, kernels/tlas.py) — pruned pairs never traverse.
+    pal/pal_rows0 (scene/instances.py build_palette_rows): hit materials
+    resolve inside the kernel; without them the nearest post-pass pays the
+    XLA take(grids_flat, gidx) HBM gather."""
     assert mode in ("nearest", "occluded")
     if interpret is None:
         interpret = not _on_tpu()
@@ -864,10 +914,23 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
     side = round(g3 ** (1.0 / 3.0))
     m3 = occ.shape[2]
     mside = round(m3 ** (1.0 / 3.0))
+    # pal_rows0 lives in the COMPACTED slot space — palette mode requires
+    # the compacted descend tables (occ_slot/occ_rows0) so both use the
+    # same slot ids
+    has_pal = (pal is not None and pal_rows0 is not None
+               and occ_rows0 is not None and mode == "nearest")
 
     vtab, slot, nb_slot, comp, nbc, bm, nb_bm = _prep_tables(
         gridsize, inv, fwd, cube_min, occ, bricksize, OCC_ANY,
         occ_slot=occ_slot, occ_rows0=occ_rows0)
+    nbp = nb_pal = 0
+    if has_pal:
+        nbp = pal_rows0.shape[0] // 128
+        palw = pal_rows0.T.reshape(64, nbp, 128)
+        pal_flat = _pad_to(pal.reshape(-1).astype(I32), 128, axis=0,
+                           fill=MAT_NONE)
+        nb_pal = pal_flat.shape[0] // 128
+        pal16 = pal_flat.reshape(1, nb_pal, 128)
 
     # entry-ordered candidates (stable sort keeps original-volume order on
     # exact entry-t ties — the earliest-volume tie-break needs it)
@@ -897,6 +960,8 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
            rays2d(t_limit, BIG), rays2d(ray_active.astype(I32)),
            cand4d(id_sorted, 0), cand4d(t0_sorted, BIG),
            vtab, slot, comp, bm]
+    if has_pal:
+        ins += [palw, pal16]
 
     ray_spec = pl.BlockSpec((1, block_rows, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -911,30 +976,40 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
 
     kernel = _make_kernel(mode, v, block_rows, side, mside, m3, nb_slot,
                           nbc, nb_bm, inner, max_outer, macro_pre,
-                          count_iters)
+                          count_iters, nbp=nbp, nb_pal=nb_pal)
 
+    out_dts = [I32, F32, I32, I32, F32, F32, F32]
+    in_specs = ([ray_spec] * 8 + [cand_spec] * 2
+                + [full(vtab), full(slot), full(comp), full(bm)])
+    if has_pal:
+        in_specs += [full(palw), full(pal16)]
+        out_dts.append(I32)
     out_shapes = [jax.ShapeDtypeStruct((nblk, block_rows, 128), dt)
-                  for dt in (I32, F32, I32, I32, F32, F32, F32)]
+                  for dt in out_dts]
     outs = pl.pallas_call(
         kernel,
         grid=(nblk,),
-        in_specs=[ray_spec] * 8 + [cand_spec] * 2
-                 + [full(vtab), full(slot), full(comp), full(bm)],
-        out_specs=[ray_spec] * 7,
+        in_specs=in_specs,
+        out_specs=[ray_spec] * len(out_dts),
         out_shape=out_shapes,
         interpret=interpret,
     )(*ins)
 
-    hit_i, t, vol, gidx, nx, ny, nz = [x.reshape(npad)[:n] for x in outs]
+    outs = [x.reshape(npad)[:n] for x in outs]
+    hit_i, t, vol, gidx, nx, ny, nz = outs[:7]
     sg = jax.lax.stop_gradient
     if mode == "occluded":
         return dict(hit=sg(hit_i != 0))
     hitm = hit_i != 0
-    mat = jnp.take(grids_flat, gidx, mode="clip")
+    if has_pal:
+        cell = outs[7]
+    else:
+        mat = jnp.take(grids_flat, gidx, mode="clip")
+        cell = jnp.where(hitm, mat, MAT_NONE)
     out = dict(
         hit=sg(hitm),
         t=sg(t),
-        cell=sg(jnp.where(hitm, mat, MAT_NONE)),
+        cell=sg(cell),
         vol=sg(vol),
         nx=sg(nx), ny=sg(ny), nz=sg(nz),
     )

@@ -165,7 +165,7 @@ def _pallas_occ_args(scene: SceneData):
     traversal's descend fetch chains over (kernels/pallas_dda.py)."""
     v = scene.volumes
     return dict(occ=v.occ, bricksize=v.bricksize, occ_slot=v.occ_slot,
-                occ_rows0=v.occ_rows0)
+                occ_rows0=v.occ_rows0, pal=v.pal, pal_rows0=v.pal_rows0)
 
 
 def _topk(scene: SceneData) -> int:

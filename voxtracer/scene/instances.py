@@ -102,6 +102,44 @@ def build_occupancy(grids: np.ndarray) -> np.ndarray:
     return out
 
 
+def build_palette_rows(grids: np.ndarray, nz: np.ndarray, bpad: int,
+                       mside: int):
+    """Per-volume material palette + packed 4-bit per-cell palette ranks.
+
+    grids: [V, G, G, G] material ids; nz: [V*M^3] occupied-brick mask in
+    the SAME slot space as occ_rows0; bpad: padded row count of occ_rows0.
+    Returns (pal [V,16] i32, pal_rows0 [bpad, 64] i32) — word w of a row
+    holds ranks of cells 8w..8w+7 (cell index (fx*8+fy)*8+fz, matching the
+    occupancy bit layout), 4 bits each, LSB-first.  Returns (None, None)
+    when any volume has >16 distinct materials (callers fall back to the
+    XLA grid take)."""
+    v, g = grids.shape[0], grids.shape[1]
+    g8 = mside * BRICK
+    pal = np.full((v, 16), MAT_NONE, np.int32)
+    ranks = np.zeros((v, g8, g8, g8), np.uint8)
+    for i in range(v):
+        u = np.unique(grids[i])
+        u = u[u != MAT_NONE]
+        if len(u) > 16:
+            return None, None
+        pal[i, :len(u)] = u
+        lut = np.zeros(256, np.uint8)
+        lut[u] = np.arange(len(u), dtype=np.uint8)
+        ranks[i, :g, :g, :g] = lut[np.asarray(grids[i], np.uint8)]
+    # brick-order cells: [V*M^3, 512]
+    p = (ranks.reshape(v, mside, BRICK, mside, BRICK, mside, BRICK)
+         .transpose(0, 1, 3, 5, 2, 4, 6)
+         .reshape(v * mside ** 3, BRICK ** 3).astype(np.int64))
+    rows = p[nz]  # occupied bricks only, aligned with occ_rows0 slots
+    w = rows.reshape(-1, 64, 8)
+    shifts = (np.int64(4) * np.arange(8, dtype=np.int64))[None, None, :]
+    words = (w << shifts).sum(axis=2).astype(np.uint32).astype(np.int64)
+    words = np.where(words >= 2 ** 31, words - 2 ** 32, words)
+    out = np.zeros((bpad, 64), np.int32)
+    out[:words.shape[0]] = words.astype(np.int32)
+    return pal, out
+
+
 def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVolumes:
     """Pad every instance grid to one static size and stack transforms."""
     if not specs:
@@ -152,7 +190,9 @@ def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVo
     if pad or rows0.shape[0] == 0:
         rows0 = np.concatenate(
             [rows0, np.zeros((pad or 128, 16), np.int32)], axis=0)
+    pal, pal_rows0 = build_palette_rows(grids, nz, rows0.shape[0], mmax)
     return vols.replace(
+        pal=pal, pal_rows0=pal_rows0,
         tlas_nmin=bvh["nmin"], tlas_nmax=bvh["nmax"], tlas_left=bvh["left"],
         tlas_first=bvh["first"], tlas_count=bvh["count"],
         tlas_order=bvh["order"].astype(np.int32),
