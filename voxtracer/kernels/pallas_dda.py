@@ -167,20 +167,19 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
             k=zi, done=(~ray_act).astype(I32), walking=zi, level=zi,
             best_hit=zi, best_t=jnp.full(shape, BIG, F32),
             best_vol=jnp.full(shape, -2, I32), best_gidx=zi,
-            # current-walk per-lane constants
+            # current walk: volume id + t bound.  Everything ELSE about the
+            # walk (object ray, setups, step deltas, brick words) derives
+            # from `vol` fresh each iteration — the candidate-switch block
+            # already paid those gathers/ops every iteration, and dropping
+            # the ~42 extra carried (8,128) arrays cuts the loop's VMEM
+            # spill traffic (round-3 measurement: the 64-carry body ran at
+            # ~0.84 us/iter vs ~0.4 us of pure VPU work).
             vol=zi, eff_tl=zf,
-            rox=zf, roy=zf, roz=zf, rdx=zf, rdy=zf, rdz=zf,
-            rrdx=zf, rrdy=zf, rrdz=zf, rsx=zf, rsy=zf, rsz=zf,
-            bx=zf, by=zf, bz=zf, gs_f=jnp.ones(shape, F32),
-            stx=zi, sty=zi, stz=zi,
-            tdx=zf, tdy=zf, tdz=zf, mtdx=zf, mtdy=zf, mtdz=zf,
             # DDA positions
             t=zf, px=zi, py=zi, pz=zi, tmx=zf, tmy=zf, tmz=zf,
             mpx=zi, mpy=zi, mpz=zi, mtmx=zf, mtmy=zf, mtmz=zf,
-            ms_i=jnp.ones(shape, I32),
             outer=jnp.int32(0),
         )
-        state.update({f"w{j}": zi for j in range(16)})
         if has_pal:
             state.update(best_slot=zi, best_bidx=zi)
 
@@ -198,64 +197,42 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                   & (t0_k <= jnp.minimum(tl, st["best_t"])))
             st["done"] = st["done"] | (need & ~ok)
             st["k"] = jnp.where(ok, k + 1, k)
-
             vol = jnp.where(ok, vid_k, st["vol"])
-            # per-volume constants (vtab rows: 12 inv, 9 fwd, 3 cube, gs, ms)
+            st["vol"] = vol
+
+            # ---- per-walk constants, fresh from `vol` (vtab rows:
+            # 12 inv, 9 fwd, 3 cube, gs, ms)
             iv = [vconst(c, vol) for c in range(12)]
-            bxn, byn, bzn = vconst(21, vol), vconst(22, vol), vconst(23, vol)
-            gs_fn, ms_fn = vconst(24, vol), vconst(25, vol)
+            bx, by, bz = vconst(21, vol), vconst(22, vol), vconst(23, vol)
+            gs_f, ms_f = vconst(24, vol), vconst(25, vol)
+            gs_i = gs_f.astype(I32)
+            ms_i = ms_f.astype(I32)
             rox = iv[0] * wox + iv[1] * woy + iv[2] * woz + iv[3]
             roy = iv[4] * wox + iv[5] * woy + iv[6] * woz + iv[7]
             roz = iv[8] * wox + iv[9] * woy + iv[10] * woz + iv[11]
-            rdxn = iv[0] * wdx + iv[1] * wdy + iv[2] * wdz
-            rdyn = iv[4] * wdx + iv[5] * wdy + iv[6] * wdz
-            rdzn = iv[8] * wdx + iv[9] * wdy + iv[10] * wdz
-            sel = lambda a, bv: jnp.where(ok, a, bv)
-            st["vol"] = vol
-            st["bx"], st["by"], st["bz"] = (sel(bxn, st["bx"]),
-                                            sel(byn, st["by"]),
-                                            sel(bzn, st["bz"]))
-            st["gs_f"] = sel(gs_fn, st["gs_f"])
-            st["ms_i"] = sel(ms_fn.astype(I32), st["ms_i"])
-            st["rox"], st["roy"], st["roz"] = (sel(rox, st["rox"]),
-                                               sel(roy, st["roy"]),
-                                               sel(roz, st["roz"]))
-            st["rdx"], st["rdy"], st["rdz"] = (sel(rdxn, st["rdx"]),
-                                               sel(rdyn, st["rdy"]),
-                                               sel(rdzn, st["rdz"]))
-            st["rrdx"] = sel(1.0 / rdxn, st["rrdx"])
-            st["rrdy"] = sel(1.0 / rdyn, st["rrdy"])
-            st["rrdz"] = sel(1.0 / rdzn, st["rrdz"])
-            st["rsx"] = sel(jnp.signbit(rdxn).astype(F32), st["rsx"])
-            st["rsy"] = sel(jnp.signbit(rdyn).astype(F32), st["rsy"])
-            st["rsz"] = sel(jnp.signbit(rdzn).astype(F32), st["rsz"])
+            rdx = iv[0] * wdx + iv[1] * wdy + iv[2] * wdz
+            rdy = iv[4] * wdx + iv[5] * wdy + iv[6] * wdz
+            rdz = iv[8] * wdx + iv[9] * wdy + iv[10] * wdz
+            r = dict(ox=rox, oy=roy, oz=roz, dx=rdx, dy=rdy, dz=rdz,
+                     rdx=1.0 / rdx, rdy=1.0 / rdy, rdz=1.0 / rdz,
+                     sx=jnp.signbit(rdx).astype(F32),
+                     sy=jnp.signbit(rdy).astype(F32),
+                     sz=jnp.signbit(rdz).astype(F32))
 
-            r = dict(ox=st["rox"], oy=st["roy"], oz=st["roz"],
-                     dx=st["rdx"], dy=st["rdy"], dz=st["rdz"],
-                     rdx=st["rrdx"], rdy=st["rrdy"], rdz=st["rrdz"],
-                     sx=st["rsx"], sy=st["rsy"], sz=st["rsz"])
-            gs_i = st["gs_f"].astype(I32)
-            ms_i = st["ms_i"]
-            ms_f = ms_i.astype(F32)
-
-            # macro + fine Setup3DDDA (only `ok` lanes adopt the results)
-            sm = _setup(r, st["bx"], st["by"], st["bz"], ms_f, ms_i)
-            s_f = _setup(r, st["bx"], st["by"], st["bz"], st["gs_f"], gs_i)
+            # macro + fine Setup3DDDA (only `start` lanes adopt positions;
+            # deltas/steps are pure functions of the walk -> used directly)
+            sm = _setup(r, bx, by, bz, ms_f, ms_i)
+            s_f = _setup(r, bx, by, bz, gs_f, gs_i)
+            stx, sty, stz = sm["stx"], sm["sty"], sm["stz"]
             start = ok & sm["valid"] & (sm["t0"] < bound)
             st["walking"] = st["walking"] | start
             st["level"] = st["level"] & ~start
             st["eff_tl"] = jnp.where(ok, bound, st["eff_tl"])
             st["t"] = jnp.where(start, sm["t0"], st["t"])
-            for nm, val in (("stx", sm["stx"]), ("sty", sm["sty"]),
-                            ("stz", sm["stz"]),
-                            ("mtdx", sm["tdx"]), ("mtdy", sm["tdy"]),
-                            ("mtdz", sm["tdz"]),
-                            ("mpx", sm["px"]), ("mpy", sm["py"]),
+            for nm, val in (("mpx", sm["px"]), ("mpy", sm["py"]),
                             ("mpz", sm["pz"]),
                             ("mtmx", sm["tmx"]), ("mtmy", sm["tmy"]),
-                            ("mtmz", sm["tmz"]),
-                            ("tdx", s_f["tdx"]), ("tdy", s_f["tdy"]),
-                            ("tdz", s_f["tdz"])):
+                            ("mtmz", sm["tmz"])):
                 st[nm] = jnp.where(start, val, st[nm])
 
             # ---- 1.5 multi-step empty-brick skipping: rays in open space
@@ -275,15 +252,15 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                 my0 = (~first0) & (mtmy0 < mtmz0)
                 mz0 = ~(mx0 | my0)
                 mt0 = jnp.where(mx0, mtmx0, jnp.where(my0, mtmy0, mtmz0))
-                st["mpx"] = st["mpx"] + jnp.where(empty & mx0, st["stx"], 0)
-                st["mpy"] = st["mpy"] + jnp.where(empty & my0, st["sty"], 0)
-                st["mpz"] = st["mpz"] + jnp.where(empty & mz0, st["stz"], 0)
+                st["mpx"] = st["mpx"] + jnp.where(empty & mx0, stx, 0)
+                st["mpy"] = st["mpy"] + jnp.where(empty & my0, sty, 0)
+                st["mpz"] = st["mpz"] + jnp.where(empty & mz0, stz, 0)
                 mmoved0 = jnp.where(mx0, st["mpx"],
                                     jnp.where(my0, st["mpy"], st["mpz"]))
-                m_out0 = (mmoved0 < 0) | (mmoved0 >= st["ms_i"])
-                st["mtmx"] = mtmx0 + jnp.where(empty & mx0, st["mtdx"], 0.0)
-                st["mtmy"] = mtmy0 + jnp.where(empty & my0, st["mtdy"], 0.0)
-                st["mtmz"] = mtmz0 + jnp.where(empty & mz0, st["mtdz"], 0.0)
+                m_out0 = (mmoved0 < 0) | (mmoved0 >= ms_i)
+                st["mtmx"] = mtmx0 + jnp.where(empty & mx0, sm["tdx"], 0.0)
+                st["mtmy"] = mtmy0 + jnp.where(empty & my0, sm["tdy"], 0.0)
+                st["mtmz"] = mtmz0 + jnp.where(empty & mz0, sm["tdz"], 0.0)
                 st["t"] = jnp.where(empty, mt0, st["t"])
                 ended0 = empty & (m_out0 | ~(mt0 < st["eff_tl"]))
                 st["walking"] = st["walking"] & ~ended0
@@ -300,30 +277,28 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
             # ---- 3. descend: fetch the brick's 512 bits + seed fine ----
             # two-level fetch: brick -> compact slot (occupied rows only),
             # then 16 words chained over the COMPACT table — ~3x (monu) to
-            # ~8x (city) fewer chain blocks than the dense row space
+            # ~8x (city) fewer chain blocks than the dense row space.
+            # Fetched FRESH each iteration (no carry): a lane mid-brick
+            # keeps the same mpx, so the fetch reproduces its words.
             slot = _gchain_ref(slot_row, grow, nb_slot)
-            words = []
-            for j in range(16):
-                wj = _gchain_ref(lambda k, j=j: comp_row(j, k), slot, nbc)
-                wj = jnp.where(descend, wj, st[f"w{j}"])
-                st[f"w{j}"] = wj
-                words.append(wj)
+            words = [_gchain_ref(lambda k, j=j: comp_row(j, k), slot, nbc)
+                     for j in range(16)]
 
-            cellw = 1.0 / st["gs_f"]
+            cellw = 1.0 / gs_f
 
             def fine_init_axis(oc, dc, rdc, sc, b0, t):
-                pos = st["gs_f"] * ((oc - b0) + (t + 5e-5) * dc)
+                pos = gs_f * ((oc - b0) + (t + 5e-5) * dc)
                 pln = (jnp.ceil(pos) - sc) * cellw
                 p = jnp.clip(pos.astype(I32), 0, gs_i - 1)
                 tm = (pln - (oc - b0)) * rdc
                 return p, tm
 
             fpx, ftmx = fine_init_axis(r["ox"], r["dx"], r["rdx"], r["sx"],
-                                       st["bx"], st["t"])
+                                       bx, st["t"])
             fpy, ftmy = fine_init_axis(r["oy"], r["dy"], r["rdy"], r["sy"],
-                                       st["by"], st["t"])
+                                       by, st["t"])
             fpz, ftmz = fine_init_axis(r["oz"], r["dz"], r["rdz"], r["sz"],
-                                       st["bz"], st["t"])
+                                       bz, st["t"])
             blox = st["mpx"] * BRICK
             bloy = st["mpy"] * BRICK
             bloz = st["mpz"] * BRICK
@@ -367,16 +342,16 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                 use_y = (~first) & (tmy < tmz)
                 use_z = ~(use_x | use_y)
                 t_new = jnp.where(use_x, tmx, jnp.where(use_y, tmy, tmz))
-                px = px + jnp.where(act_f & use_x, st["stx"], 0)
-                py = py + jnp.where(act_f & use_y, st["sty"], 0)
-                pz = pz + jnp.where(act_f & use_z, st["stz"], 0)
+                px = px + jnp.where(act_f & use_x, stx, 0)
+                py = py + jnp.where(act_f & use_y, sty, 0)
+                pz = pz + jnp.where(act_f & use_z, stz, 0)
                 moved = jnp.where(use_x, px, jnp.where(use_y, py, pz))
                 out_grid = (moved < 0) | (moved >= gs_i)
                 blo = jnp.where(use_x, blox, jnp.where(use_y, bloy, bloz))
                 out_brick = (moved < blo) | (moved >= blo + BRICK)
-                tmx = tmx + jnp.where(act_f & use_x, st["tdx"], 0.0)
-                tmy = tmy + jnp.where(act_f & use_y, st["tdy"], 0.0)
-                tmz = tmz + jnp.where(act_f & use_z, st["tdz"], 0.0)
+                tmx = tmx + jnp.where(act_f & use_x, s_f["tdx"], 0.0)
+                tmy = tmy + jnp.where(act_f & use_y, s_f["tdy"], 0.0)
+                tmz = tmz + jnp.where(act_f & use_z, s_f["tdz"], 0.0)
                 t = jnp.where(act_f, t_new, t)
                 act_f = act_f & (t_new < eff_tl)
                 leave = act_f & out_brick & ~out_grid
@@ -396,15 +371,15 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
             my = (~first) & (mtmy < mtmz)
             mz = ~(mx | my)
             mt_new = jnp.where(mx, mtmx, jnp.where(my, mtmy, mtmz))
-            st["mpx"] = st["mpx"] + jnp.where(do_m & mx, st["stx"], 0)
-            st["mpy"] = st["mpy"] + jnp.where(do_m & my, st["sty"], 0)
-            st["mpz"] = st["mpz"] + jnp.where(do_m & mz, st["stz"], 0)
+            st["mpx"] = st["mpx"] + jnp.where(do_m & mx, stx, 0)
+            st["mpy"] = st["mpy"] + jnp.where(do_m & my, sty, 0)
+            st["mpz"] = st["mpz"] + jnp.where(do_m & mz, stz, 0)
             mmoved = jnp.where(mx, st["mpx"], jnp.where(my, st["mpy"],
                                                         st["mpz"]))
             m_out = (mmoved < 0) | (mmoved >= ms_i)
-            st["mtmx"] = mtmx + jnp.where(do_m & mx, st["mtdx"], 0.0)
-            st["mtmy"] = mtmy + jnp.where(do_m & my, st["mtdy"], 0.0)
-            st["mtmz"] = mtmz + jnp.where(do_m & mz, st["mtdz"], 0.0)
+            st["mtmx"] = mtmx + jnp.where(do_m & mx, sm["tdx"], 0.0)
+            st["mtmy"] = mtmy + jnp.where(do_m & my, sm["tdy"], 0.0)
+            st["mtmz"] = mtmz + jnp.where(do_m & mz, sm["tdz"], 0.0)
             st["t"] = jnp.where(do_m, mt_new, t)
             macro_end = do_m & (m_out | ~(mt_new < eff_tl))
 
@@ -588,7 +563,6 @@ def _make_exit_kernel(v: int, b: int, side: int, mside: int, m3: int,
             mtmx=sm["tmx"], mtmy=sm["tmy"], mtmz=sm["tmz"],
             outer=jnp.int32(0),
         )
-        state.update({f"w{j}": zi for j in range(16)})
 
         def fine_init_axis(oc, dc, rdc, sc, b0, t):
             pos = gs_f * ((oc - b0) + (t + 5e-5) * dc)
@@ -611,13 +585,11 @@ def _make_exit_kernel(v: int, b: int, side: int, mside: int, m3: int,
             descend = at_m & occ_bit
             skip = at_m & ~occ_bit
 
-            # ---- descend: fetch + seed fine
-            words = []
-            for j in range(16):
-                wj = _gchain_ref(lambda k, j=j: occ_row(j, k), grow, nb_occ)
-                wj = jnp.where(descend, wj, st[f"w{j}"])
-                st[f"w{j}"] = wj
-                words.append(wj)
+            # ---- descend: fetch + seed fine (fetched fresh each
+            # iteration — a lane mid-brick keeps the same mpx, so the
+            # fetch reproduces its words; no carried copies)
+            words = [_gchain_ref(lambda k, j=j: occ_row(j, k), grow, nb_occ)
+                     for j in range(16)]
             fpx, ftmx = fine_init_axis(r["ox"], r["dx"], r["rdx"], r["sx"],
                                        bx, st["t"])
             fpy, ftmy = fine_init_axis(r["oy"], r["dy"], r["rdy"], r["sy"],
