@@ -35,9 +35,13 @@ F32 = jnp.float32
 BIG = 1e34
 
 # rematerialize the march in backward: ~2x HBM savings for ~1 extra forward
-# of compute.  At bench band sizes the stored-activation variant fits HBM;
-# toggled off there (scripts/bench_bwd.py measures the tradeoff).
-_REMAT = True
+# of compute — including a SECOND per-sample cell-row gather (~5 ns/row).
+# At 1M-ray band sizes the stored-activation variant fits HBM and skips
+# that re-gather; default OFF, flip on via VOXTRACER_DIFF_REMAT=1 when
+# optimizing at full-frame band sizes.
+import os as _os
+
+_REMAT = _os.environ.get("VOXTRACER_DIFF_REMAT", "0") == "1"
 
 
 @struct.dataclass
@@ -61,8 +65,12 @@ def _rows(table, idx):
 
     The natural adjoint of take(axis=0) into a tiny [256, 3] table is a
     scatter-add with ~100% index collisions (~9 ns/row measured); the
-    one-hot matmul accumulation costs ~2.5 ns/row and is exact in f32."""
-    return jnp.take(table, idx, axis=0, mode="clip")
+    one-hot matmul accumulation costs ~2.5 ns/row and is exact in f32.
+    Forward is the Pallas VMEM lookup on TPU (~0.1 vs ~5 ns/row): the
+    per-step albedo takes alone were ~55 ms/band at 1080p (round 3)."""
+    from voxtracer.kernels.lookup import lookup_rows
+
+    return lookup_rows(table, idx)
 
 
 def _rows_fwd(table, idx):
@@ -76,6 +84,32 @@ def _rows_bwd(res, ct):
 
 
 _rows.defvjp(_rows_fwd, _rows_bwd)
+
+
+@jax.custom_vjp
+def _bsig_rows(bsig, idx):
+    """Per-brick mean-sigma gather [V*M^3] -> [N]: Pallas VMEM lookup
+    forward (the 1-D take cost ~7 ns/row, ~28 ms/band over the lead/tail
+    segments), one-hot MXU accumulation backward (2.7 vs 8.7 ns/row for
+    the duplicate-heavy scatter)."""
+    from voxtracer.kernels.lookup import lookup_rows
+
+    return lookup_rows(bsig[:, None], idx)[:, 0]
+
+
+def _bsig_rows_fwd(bsig, idx):
+    return _bsig_rows(bsig, idx), (idx, bsig.shape[0])
+
+
+def _bsig_rows_bwd(res, ct):
+    idx, t = res
+    oh = (idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]).astype(
+        ct.dtype)
+    return jnp.dot(oh.T, ct[:, None],
+                   preferred_element_type=ct.dtype)[:, 0], None
+
+
+_bsig_rows.defvjp(_bsig_rows_fwd, _bsig_rows_bwd)
 
 
 @jax.custom_vjp
@@ -485,8 +519,7 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
                 inside = ((lx >= 0.0) & (lx < gsf) & (ly >= 0.0)
                           & (ly < gsf) & (lz >= 0.0) & (lz < gsf))
                 flat_b = vbj * m3 + (ibx * msp + iby) * msp + ibz
-                sb = jnp.where(inside, jnp.take(bsig, flat_b, mode="clip"),
-                               0.0)
+                sb = jnp.where(inside, _bsig_rows(bsig, flat_b), 0.0)
                 alpha = 1.0 - jnp.exp(-sb * dtp)
                 wgt = trans * alpha
                 cr = cr + wgt * alb_none[0]
