@@ -99,7 +99,7 @@ def _next_after(t):
 def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                  m3: int, nb_slot: int, nbc: int, nb_bm: int, inner: int,
                  max_outer: int, macro_pre: int = 1, count_iters: bool = False,
-                 nbp: int = 0, nb_pal: int = 0):
+                 nbp: int = 0, nb_pal: int = 0, incand: bool = False):
     """Kernel body builder.  Static geometry:
       v volumes; b sublane rows per block; side = padded grid side;
       mside = padded brick-grid side; m3 = mside^3;
@@ -116,13 +116,18 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
     g3 = side ** 3
 
     def kernel(*refs):
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,
-         act_ref, vid_ref, t0s_ref, vtab_ref, slot_ref, comp_ref,
-         bm_ref) = refs[:14]
-        nin = 14
+        if incand:
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,
+             act_ref, vtab_ref, slot_ref, comp_ref, bm_ref) = refs[:12]
+            nin = 12
+        else:
+            (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tl_ref,
+             act_ref, vid_ref, t0s_ref, vtab_ref, slot_ref, comp_ref,
+             bm_ref) = refs[:14]
+            nin = 14
         if has_pal:
-            palw_ref, pal16_ref = refs[14:16]
-            nin = 16
+            palw_ref, pal16_ref = refs[nin:nin + 2]
+            nin += 2
         (hit_ref, t_ref, vol_ref, gidx_ref, nx_ref, ny_ref,
          nz_ref) = refs[nin:nin + 7]
         mat_ref = refs[nin + 7] if has_pal else None
@@ -131,8 +136,67 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
         wdx, wdy, wdz = dx_ref[0], dy_ref[0], dz_ref[0]
         tl = tl_ref[0]
         ray_act = act_ref[0] != 0
-        vid_all = vid_ref[0]     # [v, b, 128]
-        t0s_all = t0s_ref[0]
+        if incand:
+            # Per-lane candidate generation + ordering IN KERNEL: the XLA
+            # preamble this replaces (lax.sort over [V, N] entry keys +
+            # the [V,nblk,b,128] transposes) measured 30 ms of the 40 ms
+            # full-frame nearest pass at 1080p — 3x the kernel itself.
+            # Entry t per volume = Cube::Intersect (scene.cpp:166-202) on
+            # scalars splat from the VMEM vtab; order via a bubble
+            # compare-exchange network (oblivious, ADJACENT swaps only ->
+            # stable, preserving the earliest-original-volume tie-break).
+            ts_l, id_l = [], []
+            for vi in range(v):
+                cvr = [vtab_ref[c, vi] for c in range(12)]
+                bxv = vtab_ref[21, vi]
+                byv = vtab_ref[22, vi]
+                bzv = vtab_ref[23, vi]
+                env = vtab_ref[26, vi]
+                rox = cvr[0] * wox + cvr[1] * woy + cvr[2] * woz + cvr[3]
+                roy = cvr[4] * wox + cvr[5] * woy + cvr[6] * woz + cvr[7]
+                roz = cvr[8] * wox + cvr[9] * woy + cvr[10] * woz + cvr[11]
+                rdxv = cvr[0] * wdx + cvr[1] * wdy + cvr[2] * wdz
+                rdyv = cvr[4] * wdx + cvr[5] * wdy + cvr[6] * wdz
+                rdzv = cvr[8] * wdx + cvr[9] * wdy + cvr[10] * wdz
+                irx, iry, irz = 1.0 / rdxv, 1.0 / rdyv, 1.0 / rdzv
+
+                def axis_mm(b0, oc, dc, rdc):
+                    neg = dc < 0.0
+                    lo = jnp.where(neg, b0 + 1.0, b0)
+                    hi = jnp.where(neg, b0, b0 + 1.0)
+                    return (lo - oc) * rdc, (hi - oc) * rdc
+
+                tnx, txx = axis_mm(bxv, rox, rdxv, irx)
+                tny, txy = axis_mm(byv, roy, rdyv, iry)
+                tnz, txz = axis_mm(bzv, roz, rdzv, irz)
+                miss = (tnx > txy) | (tny > txx)
+                e0 = jnp.maximum(tnx, tny)
+                e1 = jnp.minimum(txx, txy)
+                miss = miss | (e0 > txz) | (tnz > e1)
+                e0 = jnp.maximum(e0, tnz)
+                inside = ((rox >= bxv) & (rox <= bxv + 1.0)
+                          & (roy >= byv) & (roy <= byv + 1.0)
+                          & (roz >= bzv) & (roz <= bzv + 1.0))
+                t0v = jnp.where(inside, 0.0,
+                                jnp.where(miss | (e0 <= 0.0), BIG, e0))
+                t0v = jnp.where(t0v == t0v, t0v, BIG)  # NaN (axis d=0)
+                t0v = jnp.where(env > 0.0, t0v, BIG)
+                ts_l.append(t0v)
+                id_l.append(jnp.full(shape, vi, I32))
+            for i in range(v):
+                for j in range(v - 1 - i):
+                    a, bb = ts_l[j], ts_l[j + 1]
+                    sw = bb < a
+                    ts_l[j] = jnp.where(sw, bb, a)
+                    ts_l[j + 1] = jnp.where(sw, a, bb)
+                    ai, bi = id_l[j], id_l[j + 1]
+                    id_l[j] = jnp.where(sw, bi, ai)
+                    id_l[j + 1] = jnp.where(sw, ai, bi)
+            vid_all = id_l
+            t0s_all = ts_l
+        else:
+            vid_all = vid_ref[0]     # [v, b, 128]
+            t0s_all = t0s_ref[0]
         # tables are read from the VMEM refs AT USE TIME — preloading
         # all rows as values keeps V*M^3 words live across the while body
         # and blows the 16 MB scoped-VMEM budget at large V (measured:
@@ -904,16 +968,22 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
         nb_pal = pal_flat.shape[0] // 128
         pal16 = pal_flat.reshape(1, nb_pal, 128)
 
-    # entry-ordered candidates (stable sort keeps original-volume order on
-    # exact entry-t ties — the earliest-volume tie-break needs it)
-    t0_all = _entry_t(inv, cube_min, o, d)  # [V, N]
-    t0_all = jnp.where(vol_enabled[:, None], t0_all, BIG)
-    if cand_mask is not None:
+    # candidate ordering: with no TLAS prune mask the entry-t computation
+    # AND the stable ordering happen IN KERNEL (incand) — the XLA
+    # lax.sort + [V,nblk,b,128] transpose preamble this skips measured
+    # 30 ms of the 40 ms full-frame nearest pass at 1080p.  vol_enabled
+    # rides as vtab row 26.
+    incand = cand_mask is None
+    vtab = jnp.concatenate(
+        [vtab, _pad_to(vol_enabled.astype(F32), 128)[None, :]], axis=0)
+    if not incand:
+        t0_all = _entry_t(inv, cube_min, o, d)  # [V, N]
+        t0_all = jnp.where(vol_enabled[:, None], t0_all, BIG)
         t0_all = jnp.where(cand_mask, t0_all, BIG)
-    t0_all = jnp.where(jnp.isnan(t0_all), BIG, t0_all)
-    ids = jnp.broadcast_to(jnp.arange(v, dtype=I32)[:, None], (v, n))
-    t0_sorted, id_sorted = jax.lax.sort((t0_all, ids), dimension=0,
-                                        num_keys=1)
+        t0_all = jnp.where(jnp.isnan(t0_all), BIG, t0_all)
+        ids = jnp.broadcast_to(jnp.arange(v, dtype=I32)[:, None], (v, n))
+        t0_sorted, id_sorted = jax.lax.sort((t0_all, ids), dimension=0,
+                                            num_keys=1)
 
     blk = block_rows * 128
     npad = -(-n // blk) * blk
@@ -929,9 +999,10 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
 
     ins = [rays2d(o[:, 0]), rays2d(o[:, 1]), rays2d(o[:, 2]),
            rays2d(d[:, 0]), rays2d(d[:, 1]), rays2d(d[:, 2]),
-           rays2d(t_limit, BIG), rays2d(ray_active.astype(I32)),
-           cand4d(id_sorted, 0), cand4d(t0_sorted, BIG),
-           vtab, slot, comp, bm]
+           rays2d(t_limit, BIG), rays2d(ray_active.astype(I32))]
+    if not incand:
+        ins += [cand4d(id_sorted, 0), cand4d(t0_sorted, BIG)]
+    ins += [vtab, slot, comp, bm]
     if has_pal:
         ins += [palw, pal16]
 
@@ -948,10 +1019,12 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
 
     kernel = _make_kernel(mode, v, block_rows, side, mside, m3, nb_slot,
                           nbc, nb_bm, inner, max_outer, macro_pre,
-                          count_iters, nbp=nbp, nb_pal=nb_pal)
+                          count_iters, nbp=nbp, nb_pal=nb_pal,
+                          incand=incand)
 
     out_dts = [I32, F32, I32, I32, F32, F32, F32]
-    in_specs = ([ray_spec] * 8 + [cand_spec] * 2
+    in_specs = ([ray_spec] * 8
+                + ([] if incand else [cand_spec] * 2)
                 + [full(vtab), full(slot), full(comp), full(bm)])
     if has_pal:
         in_specs += [full(palw), full(pal16)]
