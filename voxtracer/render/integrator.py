@@ -464,18 +464,16 @@ def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key,
     idx = jnp.minimum((u * total).astype(jnp.int32), total - 1)
     acc = zero
 
-    # area lights keep their own N-shadow-sample pass (renderer.cpp:161-207)
-    if n_a:
-        sel = (idx >= n_p) & (idx < n_p + n_a)
-        c = _area_contribution(scene, cfg, p, nrm, alb,
-                               jnp.clip(idx - n_p, 0, n_a - 1),
-                               active & sel, jax.random.fold_in(key, 11))
-        acc = cwhere(sel, cadd(acc, c), acc)
-
-    # point / spot / directional fuse into ONE shadow traversal: each ray
-    # sampled a single light, so its (direction, t_limit, intensity) are
-    # selected per ray and one occlusion pass serves all three types —
-    # the v1 design paid a full lockstep traversal PER TYPE.
+    # ALL light types fuse into ONE shadow traversal: each ray sampled a
+    # single light, so its (direction, t_limit, intensity) are selected per
+    # ray and one occlusion pass serves every type — the v1 design paid a
+    # full lockstep traversal PER TYPE, and v2 still paid
+    # cfg.num_area_samples extra passes for sampled area lights.  Area
+    # lights here use a ONE-sample estimate of the reference's N-sample
+    # mean (renderer.cpp:161-207) — identical expectation, slightly higher
+    # variance, converges under progressive accumulation; the
+    # deterministic_lights path above keeps the N-sample loop for oracle
+    # parity.
     dirn = tuple(jnp.zeros(nrays, F32) for _ in range(3))
     intensity = zero
     shadow_t = jnp.full(nrays, BIG, F32)
@@ -492,6 +490,25 @@ def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key,
         cos_t = cdot(d_p, nrm)
         dirn = cwhere(sel, d_p, dirn)
         intensity = cwhere(sel, cscale(cos_t / (dst * dst), lcol), intensity)
+        shadow_t = jnp.where(sel, dst, shadow_t)
+        gate = jnp.where(sel, cos_t > 0.0, gate)
+    if n_a:
+        sel = (idx >= n_p) & (idx < n_p + n_a)
+        i_a = jnp.clip(idx - n_p, 0, n_a - 1)
+        lpos = cpack(jnp.take(L.area_pos, i_a, axis=0))
+        lcol = cpack(jnp.take(L.area_color, i_a, axis=0))
+        lmul = jnp.take(L.area_mult, i_a, axis=0)
+        lrad = jnp.take(L.area_radius, i_a, axis=0)
+        gk = jax.random.normal(jax.random.fold_in(key, 11), (3, nrays), F32)
+        rnd = coctant_dir((gk[0], gk[1], gk[2]))
+        target = cadd(cscale(lrad, rnd), lpos)
+        to_l = csub(target, p)
+        dst = jnp.sqrt(cdot(to_l, to_l))
+        d_a = cscale(1.0 / dst, to_l)
+        cos_t = cdot(d_a, nrm)
+        scale = cos_t * lmul * lrad * lrad * (4.0 * jnp.pi) / (dst * dst)
+        dirn = cwhere(sel, d_a, dirn)
+        intensity = cwhere(sel, cscale(scale, lcol), intensity)
         shadow_t = jnp.where(sel, dst, shadow_t)
         gate = jnp.where(sel, cos_t > 0.0, gate)
     if n_s:
