@@ -639,3 +639,224 @@ class Oracle:
         focal = cam.pos + F(cam.focal_distance) * normalize((p - cam.pos).astype(F))
         origin = cam.pos + jitter[0] * cam.right + jitter[1] * cam.up
         return origin.astype(F), (focal - origin).astype(F)
+
+    # ---------- reprojection pass 1 (renderer.cpp:1330-1585) ----------
+    # TraceReproject returns the DECOMPOSED {albedo, illumination} pair with
+    # GetColor() = albedo * illumination (renderer.h:10-18).  By design it
+    # deviates from Trace(): non-metals always take the diffuse branch (no
+    # Schlick split, TraceNonMetal renderer.cpp:1342-1357) and Illumination's
+    # value — which already includes albedo — lands in the illumination
+    # bucket, so the resolved pixel carries albedo^2 on the NEE term exactly
+    # as the reference does.
+
+    def trace_reproject(self, ray: ORay, depth: int):
+        """-> (albedo[3], illumination[3]); pixel = albedo * illumination."""
+        zero = np.zeros(3, F)
+        if depth < 0:
+            return zero, zero
+        vox_index = self.find_nearest(ray)
+        if ray.mat == MAT_NONE:
+            return self.sample_sky(ray.D), np.ones(3, F)
+        m = ray.mat
+        if METAL_HIGH <= m <= METAL_LOW:
+            new = ORay(mathx.offset_ray(ray.point(), ray.normal, np),
+                       self._perturbed_reflect(ray))
+            a, i = self.trace_reproject(new, depth - 1)
+            return self.albedo(m), a * i
+        if m < METAL_HIGH or m > EMISSIVE:  # nonmetal / model palette
+            if m < METAL_HIGH:
+                u = np.array([self._u(), self._u(), self._u()], F)
+                rand_dir = lambertian_dir(ray.normal, u, np)
+            else:
+                rand_dir = uniform_hemisphere_dir(
+                    ray.normal, self.rng.standard_normal(3).astype(F), np)
+            inc = self.illumination(ray)
+            new = ORay(mathx.offset_ray(ray.point(), ray.normal, np), rand_dir)
+            a, i = self.trace_reproject(new, depth - 1)
+            return self.albedo(m), inc + a * i
+        if m == GLASS:
+            return self._trace_glass_reproject(ray, depth, vox_index)
+        if SMOKE_LOW_DENSITY <= m <= SMOKE_PLAYER:
+            return self._trace_smoke_reproject(ray, depth, vox_index)
+        # EMISSIVE (renderer.cpp:1505-1508)
+        return self.albedo(m) * self.emis(m), np.ones(3, F)
+
+    def _trace_glass_reproject(self, ray: ORay, depth, vox_index):
+        """TraceDialectric (renderer.cpp:1359-1423): stochastic Schlick
+        reflect/refract, decomposed return {beer-color, sub GetColor}."""
+        color = np.ones(3, F)
+        in_glass = ray.in_glass
+        ratio = self.ior(ray.mat) if in_glass else F(1.0) / self.ior(ray.mat)
+        in_volume = True
+        if in_glass:
+            color = self.albedo(ray.mat)
+            if vox_index >= 0:
+                in_volume = self._glass_march(ray, vox_index, smoke=False)
+        if not in_volume:
+            ray.O = ray.O + ray.D * ray.t
+            ray.t = F(0.0)
+        cos_t = F(min(float(-ray.D @ ray.normal), 1.0))
+        sin_t = F(np.sqrt(max(0.0, 1.0 - cos_t * cos_t)))
+        if ratio * sin_t > 1.0 or mathx.schlick(cos_t, ratio, np) > self._u():
+            out_d = mathx.reflect(ray.D, ray.normal)
+            out_n = ray.normal
+        else:
+            out_d = mathx.refract(ray.D, ray.normal, ratio, np)
+            in_glass = not in_glass
+            out_n = -ray.normal
+        new = ORay(mathx.offset_ray(ray.point(), out_n, np), out_d)
+        new.in_glass = in_glass
+        a, i = self.trace_reproject(new, depth - 1)
+        return color, a * i
+
+    def _trace_smoke_reproject(self, ray: ORay, depth, vox_index):
+        """TraceSmoke reproject variant (renderer.cpp:1425-1503)."""
+        color = np.ones(3, F)
+        in_glass = ray.in_glass
+        intensity = F(0.0)
+        dist = F(0.0)
+        in_volume = True
+        if in_glass:
+            intensity = self.emis(ray.mat)
+            color = self.albedo(ray.mat)
+            if vox_index >= 0:
+                in_volume = self._glass_march(ray, vox_index, smoke=True)
+            dist = F(ray.t)
+        threshold = self._u() * F(100.0) - intensity
+        if self._u() * dist > threshold:
+            lo = ray.t * F(0.45)
+            ray.O = ray.O + ray.D * (lo + self._u() * (ray.t - lo))
+            ray.D = positive_octant_dir(self.rng.standard_normal(3).astype(F), np)
+            ray._derive()
+            ray.t = F(0.0)
+        color = mathx.absorption(color, intensity, dist, np)
+        if not in_volume:
+            ray.O = ray.O + ray.D * ray.t
+            ray.t = F(0.0)
+        out_d = mathx.refract(ray.D, ray.normal, F(1.0), np)
+        new = ORay(mathx.offset_ray(ray.point(), -ray.normal, np), out_d)
+        new.in_glass = not in_glass
+        a, i = self.trace_reproject(new, depth - 1)
+        return color, a * i
+
+    def render_reproject(self, spp: int | None = None):
+        """Pass-1 frame (renderer.cpp:1997-2020): deterministic center
+        primaries (GetPrimaryRayNoDOF), returns (albedo, illum, p0, m0)
+        images averaged over spp (G-buffer from the last sample — it is
+        deterministic for fixed primaries)."""
+        cfg = self.cfg
+        spp = spp or cfg.spp
+        alb_img = np.zeros((cfg.height, cfg.width, 3), F)
+        ill_img = np.zeros((cfg.height, cfg.width, 3), F)
+        p0_img = np.zeros((cfg.height, cfg.width, 3), F)
+        m0_img = np.full((cfg.height, cfg.width), MAT_NONE, np.int32)
+        cam = self.s.camera
+        for y in range(cfg.height):
+            for x in range(cfg.width):
+                acc_a = np.zeros(3, F)
+                acc_i = np.zeros(3, F)
+                for _ in range(spp):
+                    o, d = self._primary(cam, F(x), F(y), None)
+                    ray = ORay(o, d)
+                    a, i = self.trace_reproject(ray, cfg.max_bounces)
+                    acc_a += a
+                    acc_i += i
+                    p0_img[y, x] = ray.point()
+                    m0_img[y, x] = ray.mat
+                alb_img[y, x] = acc_a / F(spp)
+                ill_img[y, x] = acc_i / F(spp)
+        return alb_img, ill_img, p0_img, m0_img
+
+    # ---------- reprojection pass 2 (renderer.cpp:1997-2101, scalar) ----------
+    def resolve_reproject(self, prev_camera, albedo, illum, p0, m0, history):
+        """Scalar resolve: PointToUV (camera.h:34-49), prev-frame occlusion
+        validation (renderer.cpp:767-774), validity-weighted bilinear history
+        (renderer.cpp:777-830), YCoCg 3x3 mean±0.75σ clamp
+        (renderer.cpp:856-910), per-material blend (renderer.cpp:2050-2084).
+        Returns (tonemapped image, new illumination history)."""
+        cfg = self.cfg
+        h, w = cfg.height, cfg.width
+        aspect = F(w / h)
+        cam = prev_camera
+        ahead = np.asarray(cam.ahead, F)
+        right = np.asarray(cam.right, F)
+        up = np.asarray(cam.up, F)
+        pos = np.asarray(cam.pos, F)
+        left_n = np.cross(up, F(2.0) * ahead - aspect * right).astype(F)
+        right_n = np.cross(F(2.0) * ahead + aspect * right, up).astype(F)
+        top_n = np.cross(right, F(2.0) * ahead + up).astype(F)
+        bot_n = np.cross(F(2.0) * ahead - up, right).astype(F)
+
+        ycc_new = np.stack([mathx.rgb_to_ycocg(illum[y, x], np)
+                            for y in range(h) for x in range(w)]).reshape(h, w, 3)
+        final = illum.copy()
+        for y in range(h):
+            for x in range(w):
+                if m0[y, x] == MAT_NONE:
+                    continue
+                delta = p0[y, x] - pos
+                ld, rd_ = F(delta @ left_n), F(delta @ right_n)
+                td, bd = F(delta @ top_n), F(delta @ bot_n)
+                u = ld / (ld + rd_) + F(0.5) / F(w)
+                v = td / (td + bd) + F(0.5) / F(h)
+                if not (0 <= u < 1 and 0 <= v < 1):
+                    continue
+                # IsOccludedPrevFrame
+                to_p = p0[y, x] - pos
+                dist = F(np.sqrt(float(to_p @ to_p)))
+                dirn = to_p / dist
+                back = mathx.offset_ray(p0[y, x], -dirn, np)
+                t_occ = F(np.sqrt(float((back - pos) @ (back - pos))))
+                sr = ORay(pos, dirn)
+                sr.t = t_occ
+                if self.is_occluded(sr):
+                    continue
+                # bilinear validity-weighted history sample
+                px = (u - F(0.5) / F(w)) * F(w)
+                py = (v - F(0.5) / F(h)) * F(h)
+                x0, y0 = int(px), int(py)
+                fx, fy = F(px - x0), F(py - y0)
+                acc = np.zeros(3, F)
+                wacc = F(0.0)
+                for (xi, yi, wgt) in ((x0, y0, (1 - fx) * (1 - fy)),
+                                      (x0 + 1, y0, fx * (1 - fy)),
+                                      (x0, y0 + 1, (1 - fx) * fy),
+                                      (x0 + 1, y0 + 1, fx * fy)):
+                    if 0 <= xi < w and 0 <= yi < h:
+                        acc += history[yi, xi] * F(wgt)
+                        wacc += F(wgt)
+                hist = acc / max(wacc, F(1e-8))
+                # YCoCg 3x3 mean±0.75σ clamp against the NEW illumination
+                s1 = np.zeros(3, F)
+                s2 = np.zeros(3, F)
+                cnt = 0
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        yy, xx = y + dy, x + dx
+                        if 0 <= yy < h and 0 <= xx < w:
+                            c = ycc_new[yy, xx]
+                            s1 += c
+                            s2 += c * c
+                            cnt += 1
+                mean = s1 / F(cnt)
+                var = np.maximum(s2 / F(cnt) - mean * mean, 0.0)
+                sig = np.sqrt(var).astype(F)
+                ycc_h = mathx.rgb_to_ycocg(hist, np)
+                clamped = np.clip(ycc_h, mean - F(0.75) * sig,
+                                  mean + F(0.75) * sig)
+                hist_c = np.maximum(mathx.ycocg_to_rgb(clamped, np), 0.0)
+                m = int(m0[y, x])
+                if m == EMISSIVE:
+                    wgt_m = F(0.0)
+                elif METAL_HIGH <= m <= GLASS:
+                    wgt_m = F(0.5)
+                elif m < METAL_HIGH:
+                    wgt_m = F(0.8)
+                else:
+                    wgt_m = F(0.9)
+                final[y, x] = illum[y, x] * (1 - wgt_m) + hist_c * wgt_m
+        color = np.zeros((h, w, 3), F)
+        for y in range(h):
+            for x in range(w):
+                color[y, x] = mathx.reinhard_jodie(albedo[y, x] * final[y, x], np)
+        return color, final
