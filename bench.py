@@ -97,7 +97,19 @@ def main():
     log(f"diff pair compaction k={diff_k} of V={scene.volumes.n}; "
         f"union-span march steps={diff_steps} span={span_steps}")
 
-    from voxtracer.diff.volumetric import mse_loss
+    from voxtracer.diff.volumetric import active_ray_permutation, mse_loss
+
+    # active-ray compaction: camera+transform-derived, loop-invariant
+    # across optimizer steps (recomputed on camera move, like the
+    # occupancy spans) — the march costs per ROW, and 75%/5% of the two
+    # bands' rays never touch an instance AABB
+    perms = []
+    for b in range(tiles_bwd):
+        r0 = min(b * rows, HEIGHT - rows)
+        p, ip, na = active_ray_permutation(scene, cfg, row0=r0, rows=rows)
+        perms.append((jnp.asarray(p), jnp.asarray(ip), na))
+        log(f"band {b}: active rays {na}/{rows * WIDTH}"
+            f" ({na / (rows * WIDTH):.1%})")
 
     @jax.jit
     def full_grad(k):
@@ -106,9 +118,11 @@ def main():
         total = None
         for b in range(tiles_bwd):
             row0 = jnp.float32(min(b * rows, HEIGHT - rows))
+            p, ip, na = perms[b]
             g = jax.grad(mse_loss)(params, scene, cfg, target_band, k,
                                    diff_steps, row0=row0, rows=rows,
-                                   k=diff_k, span_steps=span_steps)
+                                   k=diff_k, span_steps=span_steps,
+                                   perm=p, inv_perm=ip, n_active=na)
             total = g if total is None else jax.tree.map(jnp.add, total, g)
         return total
 

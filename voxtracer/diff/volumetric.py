@@ -43,6 +43,16 @@ import os as _os
 
 _REMAT = _os.environ.get("VOXTRACER_DIFF_REMAT", "0") == "1"
 
+# profiling-only ablations (scripts/bench_bwd3.py): zero out one adjoint
+# path / skip one forward stage to measure its share of grad time.
+# NEVER set outside profiling.
+_ABLATE_CELL_SCATTER = False
+_ABLATE_BSIG_ADJ = False
+_ABLATE_CLAMP = False   # skip the transmittance-clamp nearest pass
+_ABLATE_SPANS = False   # use raw AABB intervals instead of occupied spans
+_ABLATE_CELL_FETCH = False  # constant rows instead of the per-cell gather
+_ABLATE_ALB_FETCH = False   # constant albedo instead of the per-step lookup
+
 
 @struct.dataclass
 class DiffParams:
@@ -68,6 +78,9 @@ def _rows(table, idx):
     one-hot matmul accumulation costs ~2.5 ns/row and is exact in f32.
     Forward is the Pallas VMEM lookup on TPU (~0.1 vs ~5 ns/row): the
     per-step albedo takes alone were ~55 ms/band at 1080p (round 3)."""
+    if _ABLATE_ALB_FETCH:
+        return jnp.broadcast_to(table[0] * 0.0 + idx[:, None] * 0.0 + 0.5,
+                                (idx.shape[0], table.shape[1]))
     from voxtracer.kernels.lookup import lookup_rows
 
     return lookup_rows(table, idx)
@@ -103,6 +116,8 @@ def _bsig_rows_fwd(bsig, idx):
 
 def _bsig_rows_bwd(res, ct):
     idx, t = res
+    if _ABLATE_BSIG_ADJ:
+        return jnp.zeros((t,), ct.dtype) + jnp.sum(ct) * 0.0, None
     oh = (idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]).astype(
         ct.dtype)
     return jnp.dot(oh.T, ct[:, None],
@@ -118,6 +133,9 @@ def _cell_fetch(dens_flat, cell_tab, idx):
     scatter: a [N,2]-row scatter-add costs 41 ns/row on this chip, the 1-D
     scalar scatter 7.5 ns (PERF_NOTES.md); the material column never needs
     a gradient."""
+    if _ABLATE_CELL_FETCH:
+        return jnp.broadcast_to(cell_tab[0] * 0.0 + idx[:, None] * 0.0
+                                + 1.0, (idx.shape[0], 2))
     return jnp.take(cell_tab, idx, axis=0, mode="clip")
 
 
@@ -127,6 +145,8 @@ def _cell_fetch_fwd(dens_flat, cell_tab, idx):
 
 def _cell_fetch_bwd(res, ct):
     idx, t = res
+    if _ABLATE_CELL_SCATTER:
+        return jnp.zeros((t,), ct.dtype) + jnp.sum(ct[:, 0]) * 0.0, None, None
     ci = jnp.clip(idx, 0, t - 1)
     d_dens = jnp.zeros((t,), ct.dtype).at[ci].add(ct[:, 0])
     return d_dens, None, None
@@ -226,11 +246,55 @@ def _brick_mean_sigma(params: DiffParams, scene: SceneData,
     return b.mean(axis=(2, 4, 6)).reshape(-1)  # [V * M^3]
 
 
+def active_ray_permutation(scene: SceneData, cfg, row0: int = 0,
+                           rows: int = 0):
+    """HOST-side: stable permutation putting rays that cross ANY instance
+    AABB first.  Rays outside every AABB render exactly the background, so
+    the march (cell gathers, scatters, lead/tail brick scans, clamp pass —
+    ALL of which cost per-row) runs only on the active prefix: the diff
+    march is gather/scatter-floor-bound at ~11 ns/row fwd+bwd
+    (scripts/probe_march.py), so rows are the ONLY lever.  monu 1080p:
+    40% of rays (75% in the sky band) drop.  Derived from camera +
+    instance transforms only — loop-invariant across optimizer steps
+    (like the occupancy spans); recompute when the camera moves.
+
+    Returns (perm int32 [N], inv_perm int32 [N], n_active int)."""
+    import numpy as np
+
+    from voxtracer.render.camera import primary_rays
+
+    h = rows or cfg.height
+    x = np.arange(cfg.width, dtype=np.float32)
+    y = np.arange(h, dtype=np.float32) + row0
+    px, py = np.meshgrid(x, y)
+    cam = jax.tree.map(np.asarray, scene.camera)
+    o, d = primary_rays(cam, cfg.width, cfg.height, px.reshape(-1),
+                        py.reshape(-1), None, np)
+    inv = np.asarray(scene.volumes.inv)
+    cb = np.asarray(scene.volumes.cube_min)
+    valid = np.zeros(o.shape[0], bool)
+    for i in range(inv.shape[0]):
+        oo = o @ inv[i, :3, :3].T + inv[i, :3, 3]
+        dd = d @ inv[i, :3, :3].T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rd = 1.0 / dd
+            a = (cb[i] - oo) * rd
+            b = (cb[i] + 1.0 - oo) * rd
+        t0 = np.maximum(np.nanmax(np.minimum(a, b), axis=1), 0.0)
+        t1 = np.nanmin(np.maximum(a, b), axis=1)
+        valid |= t1 > t0
+    perm = np.argsort(~valid, kind="stable").astype(np.int32)
+    inv_perm = np.empty_like(perm)
+    inv_perm[perm] = np.arange(perm.shape[0], dtype=np.int32)
+    return perm, inv_perm, int(valid.sum())
+
+
 @partial(jax.jit, static_argnames=("n_steps", "cfg", "rows", "k",
-                                   "span_steps"))
+                                   "span_steps", "n_active"))
 def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 192,
                 density_scale: float = 512.0, row0=None, rows: int = 0,
-                k: int = 0, span_steps: int = 0):
+                k: int = 0, span_steps: int = 0, perm=None, inv_perm=None,
+                n_active: int = 0):
     """Primary-visibility differentiable render -> [H, W, 3] (or
     [rows, W, 3] when a row band is given — used to bound memory at 1080p).
 
@@ -263,6 +327,17 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     else:
         px, py = _pixel_grid(cfg)
     o, d = primary_rays(scene.camera, cfg.width, cfg.height, px, py, None, jnp)
+    n_full = o.shape[0]
+    compact = perm is not None and 0 < n_active < n_full
+    if compact:
+        # active-prefix compaction (active_ray_permutation): march only the
+        # rays that cross an instance AABB; the inactive tail renders the
+        # background exactly.  The pad rays past n_active are real inactive
+        # rays whose in-march valid=False already yields bg — no masking.
+        na = min(-(-n_active // 1024) * 1024, n_full)
+        d_full = d
+        o = jnp.take(o, perm[:na], axis=0)
+        d = jnp.take(d, perm[:na], axis=0)
     n = o.shape[0]
     v = scene.volumes.n
     g = scene.volumes.pad_size
@@ -302,7 +377,12 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     hit = t1 > t0
 
     if span_steps:
-        s0_all, s1_all = _occupied_spans(scene, vox, voy, voz, vdx, vdy, vdz)
+        if _ABLATE_SPANS:
+            s0_all = jnp.where(hit, t0, BIG)
+            s1_all = jnp.where(hit, t1, -BIG)
+        else:
+            s0_all, s1_all = _occupied_spans(scene, vox, voy, voz, vdx, vdy,
+                                             vdz)
 
     # Each pair marches its OWN [t0, t1] interval (n_steps samples per
     # volume crossing, not per union span): 6-10x finer effective sampling
@@ -446,7 +526,9 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
         margin = 13.8 / jnp.maximum(sig_min, 1e-6) + 1e-3
         ven = jnp.ones(v, bool)
         tlim = jnp.full(n, BIG, F32)
-        if _use_pallas(scene):
+        if _ABLATE_CLAMP:
+            rec = dict(hit=jnp.zeros(n, bool), t=tlim)
+        elif _use_pallas(scene):
             from voxtracer.kernels.pallas_dda import traverse_pallas
 
             rec = traverse_pallas(*_vol_args(scene), o, d, tlim, valid, ven,
@@ -576,20 +658,27 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     bg = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
     img = color + t_total[:, None] * bg
     img = jnp.where(valid[:, None], img, bg)
+    if compact:
+        tail = sample_sky(scene.sky, jnp.take(d_full, perm[na:], axis=0),
+                          cfg.activate_sky, cfg.sky_fallback)
+        img = jnp.take(jnp.concatenate([img, tail], axis=0), inv_perm,
+                       axis=0)
     return img.reshape(rows or cfg.height, cfg.width, 3)
 
 
 def mse_loss(params: DiffParams, scene: SceneData, cfg, target, key,
              n_steps: int = 192, row0=None, rows: int = 0, k: int = 0,
-             span_steps: int = 0):
+             span_steps: int = 0, perm=None, inv_perm=None,
+             n_active: int = 0):
     img = render_diff(params, scene, cfg, key, n_steps, row0=row0, rows=rows,
-                      k=k, span_steps=span_steps)
+                      k=k, span_steps=span_steps, perm=perm,
+                      inv_perm=inv_perm, n_active=n_active)
     return jnp.mean((img - target) ** 2)
 
 
 grad_fn = jax.jit(jax.grad(mse_loss),
                   static_argnames=("cfg", "n_steps", "rows", "k",
-                                   "span_steps"))
+                                   "span_steps", "n_active"))
 
 
 def max_aabb_crossings(scene: SceneData, cfg, row0: int = 0,
