@@ -1,0 +1,257 @@
+"""One-bounce path-replay adjoint — gradients THROUGH the first secondary
+segment and NEE shadow visibility (VERDICT r2 "missing #1").
+
+The primary-visibility module (diff/volumetric.py) differentiates what the
+camera sees directly; this module extends gradient flow to what the
+reference's recursive Trace sees after ONE bounce
+(/root/reference/renderer.cpp:1100-1326: NEE + one lobe sample):
+
+  * **replayed (stop-grad)**: all discrete path geometry — primary hit
+    point/normal/material from the hard DDA traversal, the sampled bounce
+    direction (mirror for metals, Lambertian for diffuse), the secondary
+    hit, and each light's sample point.  This is path-replay
+    backpropagation: the estimator differentiates the throughput of a
+    FROZEN path, not the sampler.
+  * **differentiable**: every throughput factor along that path —
+    - albedo table rows at both hits (MXU one-hot adjoint, volumetric._rows)
+    - relaxed NEE shadow visibility  V_s = exp(-∫ sigma)  along the
+      hit→light segments (both bounces)
+    - relaxed transmittance V_01 = exp(-∫ sigma) along the first secondary
+      segment (densifying a region that the camera only sees REFLECTED
+      darkens the reflection — the gradient the primary-only mode lacked)
+    - a soft primary hit weight W_0 = 1 - exp(-∫ sigma) along the full
+      primary span (silhouette gradients, same relaxation as render_diff)
+
+  L = hit0 ? W0·[ alb0⊙E0_soft + alb0⊙V01·(hit1 ? alb1⊙E1_soft : sky(d1)) ]
+             + (1-W0)·bg
+           : bg
+
+Scope: diffuse + metal lobes bounce; glass/smoke hits shade direct-only
+(their medium march stays primary-mode work).  Lights: deterministic sum
+over point/spot/dir + one-sample area, each with its own relaxed shadow
+march.  Cost is seg_steps rows per segment — a capability mode for inverse
+rendering, not the bench headline (which stays primary-mode).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from voxtracer.core import mathx
+from voxtracer.core.types import (GLASS, MAT_NONE, METAL_HIGH, METAL_LOW,
+                                  SceneData)
+from voxtracer.diff.volumetric import DiffParams, _cell_fetch, _rows
+from voxtracer.render.sky import sample_sky
+
+F32 = jnp.float32
+BIG = 1e34
+_EPS = 1e-3
+
+
+def _object_rays(scene: SceneData, o, d):
+    """World [N,3] rays -> per-volume object-space ([V,N,3], [V,N,3]).
+    The slab/march t parameter is SHARED (affine instance transforms keep
+    t linear), so segment bounds computed in world t apply per volume."""
+    inv = scene.volumes.inv  # [V, 4, 4]
+    vo = jnp.einsum("vij,nj->vni", inv[:, :3, :3], o) + inv[:, :3, 3][:, None]
+    vd = jnp.einsum("vij,nj->vni", inv[:, :3, :3], d)
+    return vo, vd
+
+
+def _far_bound(scene: SceneData, o, d):
+    """Per-ray max exit t over all instance AABBs (0 where none crossed)."""
+    vo, vd = _object_rays(scene, o, d)
+    cb = scene.volumes.cube_min[:, None]  # [V, 1, 3]
+    rd = 1.0 / vd
+    a = (cb - vo) * rd
+    b = (cb + 1.0 - vo) * rd
+    t0 = jnp.maximum(jnp.max(jnp.minimum(a, b), axis=-1), 0.0)  # [V, N]
+    t1 = jnp.min(jnp.maximum(a, b), axis=-1)
+    hit = t1 > t0
+    return jnp.max(jnp.where(hit, t1, 0.0), axis=0)  # [N]
+
+
+def _segment_tau(dens_flat, cell_tab, scene: SceneData, o, d, t_lo, t_hi,
+                 steps: int, active):
+    """Optical depth ∫ sigma dt along [t_lo, t_hi] of world rays o + t·d,
+    marched at `steps` midpoints over all volumes (first-inside cell wins,
+    matching render_diff's union march).  Density-differentiable via
+    _cell_fetch's 1-D scatter adjoint."""
+    vols = scene.volumes
+    v, g = vols.n, vols.pad_size
+    gs_f = vols.gridsize.astype(F32)
+    gs_i = vols.gridsize
+    cb = vols.cube_min
+    vo, vd = _object_rays(scene, o, d)
+    n = o.shape[0]
+    dt = jnp.where(active, jnp.maximum(t_hi - t_lo, 0.0) / steps, 0.0)
+
+    def step(tau, ki):
+        t_mid = t_lo + (ki + 0.5) * dt  # [N]
+        flat = jnp.zeros(n, jnp.int32)
+        inside_any = jnp.zeros(n, bool)
+        for j in range(v):
+            l = (vo[j] + t_mid[:, None] * vd[j] - cb[j]) * gs_f[j]
+            idx = jnp.clip(l.astype(jnp.int32), 0, gs_i[j] - 1)
+            inside = jnp.all((l >= 0.0) & (l < gs_f[j]), axis=-1)
+            f = ((idx[:, 0] * g + idx[:, 1]) * g + idx[:, 2]
+                 + j * (g * g * g))
+            flat = jnp.where(inside & ~inside_any, f, flat)
+            inside_any = inside_any | inside
+        cells = _cell_fetch(dens_flat, cell_tab, flat)
+        s = jnp.where(inside_any, cells[:, 0], 0.0)
+        return tau + s * dt, None
+
+    tau, _ = jax.lax.scan(step, jnp.zeros(n, F32),
+                          jnp.arange(steps, dtype=F32))
+    return tau
+
+
+def _direct_soft(dens_flat, cell_tab, scene: SceneData, cfg, p, nrm, active,
+                 key, seg_steps: int):
+    """Direct lighting at p with RELAXED shadow visibility: deterministic
+    sum over point/spot/dir lights + one-sample area lights, each light's
+    hard IsOccluded replaced by exp(-∫ sigma) along the shadow segment
+    (renderer.cpp:738-764 semantics, soft occlusion).  Returns [N,3]
+    pre-albedo irradiance."""
+    L = scene.lights
+    n = p.shape[0]
+    acc = jnp.zeros((n, 3), F32)
+    o_sh = mathx.offset_ray(p, nrm, jnp)
+
+    def add(dirn, dist, radiance, gate):
+        tau = _segment_tau(dens_flat, cell_tab, scene, o_sh, dirn,
+                           jnp.full(n, _EPS, F32), dist, seg_steps,
+                           active & gate)
+        vs = jnp.where(gate, jnp.exp(-tau), 0.0)
+        return acc + vs[:, None] * radiance
+
+    for i in range(L.n_point):
+        to_l = L.point_pos[i] - p
+        dst = jnp.sqrt(jnp.sum(to_l * to_l, -1))
+        dirn = to_l / dst[:, None]
+        cos_t = jnp.sum(dirn * nrm, -1)
+        rad = (cos_t / (dst * dst))[:, None] * L.point_color[i]
+        acc = add(dirn, dst, rad, cos_t > 0.0)
+    for i in range(L.n_spot):
+        to_l = L.spot_pos[i] - p
+        dst = jnp.sqrt(jnp.sum(to_l * to_l, -1))
+        dirn = to_l / dst[:, None]
+        cos_c = jnp.sum(dirn * L.spot_dir[i], -1)
+        alpha = 1.0 - (1.0 - cos_c) / (1.0 - L.spot_cos_angle[i])
+        rad = (cos_c / (dst * dst) * alpha)[:, None] * L.spot_color[i]
+        acc = add(dirn, dst, rad, cos_c > L.spot_cos_angle[i])
+    for i in range(L.n_area):
+        gk = jax.random.normal(jax.random.fold_in(key, 11 + i), (n, 3), F32)
+        rnd = gk / jnp.linalg.norm(gk, axis=-1, keepdims=True)
+        target = L.area_pos[i] + L.area_radius[i] * rnd
+        to_l = target - p
+        dst = jnp.sqrt(jnp.sum(to_l * to_l, -1))
+        dirn = to_l / dst[:, None]
+        cos_t = jnp.sum(dirn * nrm, -1)
+        scale = (cos_t * L.area_mult[i] * L.area_radius[i] ** 2
+                 * (4.0 * jnp.pi) / (dst * dst))
+        acc = add(dirn, dst, scale[:, None] * L.area_color[i], cos_t > 0.0)
+    # directional light: always present (types.Lights.count), gated traced —
+    # a black dir light (the reference default) contributes zero
+    dir_on = jnp.any(jnp.asarray(L.dir_color, F32) != 0.0)
+    dirn = jnp.broadcast_to(-jnp.asarray(L.dir_direction, F32), (n, 3))
+    cos_d = jnp.sum(dirn * nrm, -1)
+    far = _far_bound(scene, o_sh, dirn) + _EPS
+    rad = cos_d[:, None] * jnp.asarray(L.dir_color, F32)
+    acc = add(dirn, far, rad, (cos_d > 0.0) & dir_on)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "seg_steps"))
+def render_diff_replay(params: DiffParams, scene: SceneData, cfg, key,
+                       n_steps: int = 48, seg_steps: int = 24,
+                       density_scale: float = 64.0):
+    """One-bounce path-replay render -> [H, W, 3] (module docstring)."""
+    from voxtracer.render.camera import primary_rays
+    from voxtracer.render.integrator import _pixel_grid, find_nearest_world
+
+    px, py = _pixel_grid(cfg)
+    o, d = primary_rays(scene.camera, cfg.width, cfg.height, px, py, None,
+                        jnp)
+    n = o.shape[0]
+    sg = jax.lax.stop_gradient
+
+    dens_flat = (jax.nn.softplus(params.density_logits).reshape(-1)
+                 * density_scale)
+    cell_tab = sg(jnp.stack(
+        [dens_flat, scene.volumes.grids.reshape(-1).astype(F32)], axis=1))
+    alb_tab = params.albedo_table
+
+    # -- replayed primary hit (hard traversal, stop-grad geometry)
+    rec0 = find_nearest_world(scene, o, d, jnp.ones(n, bool),
+                              use_tlas=cfg.use_tlas_bvh)
+    hit0 = sg(rec0["hit"])
+    t0 = sg(rec0["t"])
+    m0 = sg(rec0["mat"])
+    n0 = sg(rec0["normal"])
+    p0 = o + t0[:, None] * d
+
+    # -- soft primary hit weight over the full span (silhouette gradients)
+    far0 = _far_bound(scene, o, d)
+    tau0 = _segment_tau(dens_flat, cell_tab, scene, o, d,
+                        jnp.zeros(n, F32), far0, n_steps, far0 > 0.0)
+    w0 = 1.0 - jnp.exp(-tau0)
+
+    # -- direct light at the primary hit, relaxed shadows
+    alb0 = _rows(alb_tab, jnp.clip(m0, 0, 255))
+    e0 = _direct_soft(dens_flat, cell_tab, scene, cfg, p0, n0, hit0,
+                      jax.random.fold_in(key, 1), seg_steps)
+    direct0 = alb0 * e0
+
+    # -- replayed bounce: mirror for metals, Lambertian for diffuse
+    is_metal = (m0 >= METAL_HIGH) & (m0 <= METAL_LOW)
+    is_diffuse = hit0 & (m0 < METAL_HIGH)
+    bounce = hit0 & (is_metal | is_diffuse) & (m0 != GLASS)
+    gk = jax.random.normal(jax.random.fold_in(key, 2), (n, 3), F32)
+    sph = gk / jnp.linalg.norm(gk, axis=-1, keepdims=True)
+    refl = mathx.reflect(d, n0)
+    d1 = jnp.where(is_metal[:, None], refl, n0 + sph)
+    d1 = sg(d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True))
+    o1 = mathx.offset_ray(p0, n0, jnp)
+
+    rec1 = find_nearest_world(scene, o1, d1, bounce,
+                              use_tlas=cfg.use_tlas_bvh)
+    hit1 = sg(rec1["hit"])
+    t1 = sg(rec1["t"])
+    m1 = sg(rec1["mat"])
+    n1 = sg(rec1["normal"])
+    p1 = o1 + t1[:, None] * d1
+
+    # -- relaxed transmittance of the secondary segment + its shading
+    far1 = _far_bound(scene, o1, d1)
+    seg_hi = jnp.where(hit1, jnp.maximum(t1 - _EPS, 0.0), far1)
+    tau01 = _segment_tau(dens_flat, cell_tab, scene, o1, d1,
+                         jnp.full(n, _EPS, F32), seg_hi, seg_steps, bounce)
+    v01 = jnp.exp(-tau01)
+
+    alb1 = _rows(alb_tab, jnp.clip(m1, 0, 255))
+    e1 = _direct_soft(dens_flat, cell_tab, scene, cfg, p1, n1,
+                      bounce & hit1, jax.random.fold_in(key, 3), seg_steps)
+    sky1 = sample_sky(scene.sky, d1, cfg.activate_sky, cfg.sky_fallback)
+    l1 = jnp.where(hit1[:, None], alb1 * e1, sky1)
+    # throughput: diffuse cosine-importance cancels cos/pi -> alb0;
+    # mirror -> alb0 (renderer.cpp metals multiply albedo into tp)
+    bounce_rad = jnp.where(bounce[:, None], alb0 * v01[:, None] * l1, 0.0)
+
+    bg = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
+    lsurf = direct0 + bounce_rad
+    img = jnp.where(hit0[:, None],
+                    w0[:, None] * lsurf + (1.0 - w0)[:, None] * bg, bg)
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
+def mse_loss_replay(params: DiffParams, scene: SceneData, cfg, target, key,
+                    n_steps: int = 48, seg_steps: int = 24,
+                    density_scale: float = 64.0):
+    img = render_diff_replay(params, scene, cfg, key, n_steps, seg_steps,
+                             density_scale)
+    return jnp.mean((img - target) ** 2)
