@@ -168,6 +168,34 @@ def cmd_play(args):
           f"volumes={len(game.volumes)} -> {args.output}")
 
 
+def cmd_live(args):
+    """Interactive viewer: live progressive render in the terminal with a
+    fly camera (reference window + input loop, template.cpp:296-329)."""
+    import dataclasses
+
+    from voxtracer.scene import presets
+    from voxtracer.viewer import run_live
+
+    if args.preset == "roomglass":
+        scene, cfg = presets.room_whitted(glass=True)
+    else:
+        scene, cfg = getattr(presets, PRESETS[args.preset])()
+    cfg = dataclasses.replace(cfg, width=args.width, height=args.height)
+    if args.mode:
+        cfg = dataclasses.replace(cfg, mode=args.mode)
+    if args.bounces:
+        cfg = dataclasses.replace(cfg, max_bounces=args.bounces)
+
+    script = None
+    if args.script:
+        # one character per frame; '.' = idle frame (accumulate only)
+        script = [set() if c == "." else {c} for c in args.script]
+    frames, _ = run_live(scene, cfg, max_frames=args.frames, script=script,
+                         display=not args.no_display, spp=args.spp,
+                         seed=args.seed)
+    print(f"live: {frames} frames rendered", file=sys.stderr)
+
+
 def cmd_info(args):
     import jax
 
@@ -208,6 +236,22 @@ def main(argv=None):
                    help="render each step and detect the light-kill revert")
     g.add_argument("--output", default="game.png")
     g.set_defaults(fn=cmd_play)
+
+    v = sub.add_parser("live", help="interactive terminal viewer (fly cam)")
+    v.add_argument("--preset", choices=PRESETS, default="monu")
+    v.add_argument("--width", type=int, default=256)
+    v.add_argument("--height", type=int, default=212)
+    v.add_argument("--mode",
+                   choices=["primary", "whitted", "path"], default=None)
+    v.add_argument("--bounces", type=int, default=0)
+    v.add_argument("--frames", type=int, default=0,
+                   help="stop after N frames (0 = until quit)")
+    v.add_argument("--script", default="",
+                   help="headless key script, one char per frame ('.'=idle)")
+    v.add_argument("--no-display", action="store_true")
+    v.add_argument("--spp", type=int, default=1)
+    v.add_argument("--seed", type=int, default=0)
+    v.set_defaults(fn=cmd_live)
 
     i = sub.add_parser("info", help="device info")
     i.set_defaults(fn=cmd_info)
