@@ -11,7 +11,10 @@ import numpy as np
 shapes = [(1,), (96, 128, 3), (212, 256, 3), (1080, 1920, 3)]
 
 
-@jax.jit
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("h", "w"))
 def make(x, h, w):
     img = jnp.broadcast_to(x, (h, w, 3)) * jnp.ones((h, w, 3))
     return (img * 255).astype(jnp.uint8)

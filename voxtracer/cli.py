@@ -17,6 +17,7 @@ PRESETS = {
     "roomglass": None,  # handled specially
     "monu": "monu_path",
     "city": "city_path",
+    "cityxl": "city_xl_path",
     "glassbox": "glass_sphere_box",
 }
 

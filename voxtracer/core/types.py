@@ -159,6 +159,11 @@ class VoxVolumes:
     # fallback keeps full generality).
     pal: np.ndarray = None       # [V, 16] i32 material ids
     pal_rows0: np.ndarray = None  # [Bpad, 64] i32, 8 ranks x 4 bits/word
+    # large-V paging (scene/instances.py paginate_volumes): tuple of
+    # child VoxVolumes (<= ~24 volumes each, own compact tables) that the
+    # Pallas traversal walks page-by-page and min-merges; None below the
+    # paging threshold.  The parent's arrays stay complete either way.
+    pages: tuple = None
 
     @property
     def n(self) -> int:

@@ -196,8 +196,11 @@ def _tlas_candidates(scene: SceneData, o3, d3):
 def _use_pallas(scene: SceneData) -> bool:
     """Route traversal through the Pallas VMEM kernel on TPU (measured
     13-20x vs the XLA path, scripts/bench_traversal.py); the XLA kernels
-    remain the CPU/simulated-mesh path and the parity oracle.  Override
-    with VOXTRACER_PALLAS=0/1."""
+    remain the CPU/simulated-mesh path and the parity oracle.  Above 64
+    volumes the scene must carry pages (scene/instances.paginate_volumes)
+    — the per-fetch VMEM where-chains scale with table size, so large V
+    walks page-by-page instead of falling off to the 20x-slower XLA path.
+    Override with VOXTRACER_PALLAS=0/1."""
     import os
 
     env = os.environ.get("VOXTRACER_PALLAS")
@@ -206,7 +209,55 @@ def _use_pallas(scene: SceneData) -> bool:
     import jax as _jax
 
     return (_jax.devices()[0].platform == "tpu"
-            and scene.volumes.n <= 64)
+            and (scene.volumes.n <= 64 or scene.volumes.pages is not None))
+
+
+def _pages(scene: SceneData):
+    """Page tuple for the paged Pallas walk, or None for single-shot."""
+    p = scene.volumes.pages
+    if p is not None and scene.volumes.n > 64:
+        return p
+    return None
+
+
+def _paged_traverse(scene: SceneData, o3, d3, t_limit, active, vol_enabled,
+                    cand, mode, **kw):
+    """Run traverse_pallas one volume-page at a time and min-merge.
+
+    Pages preserve volume order, so merging with a strict `t <` keeps the
+    reference's earliest-volume tie-break (renderer.cpp:946-1018).  Later
+    pages receive the running best t as their t_limit, so their ray
+    blocks early-exit past volumes that can no longer win."""
+    from voxtracer.kernels.pallas_dda import traverse_pallas
+
+    pages = scene.volumes.pages
+    best = None
+    off = 0
+    for pv in pages:
+        pn = pv.n
+        psc = scene.replace(volumes=pv)
+        lim = (t_limit if (best is None or mode == "occluded")
+               else jnp.minimum(t_limit, best["t"]))
+        if mode == "occluded" and best is not None:
+            # already-occluded rays can't change; let their blocks exit
+            active = active & ~best["hit"]
+        res = traverse_pallas(
+            *_vol_args(psc), o3, d3, lim, active, vol_enabled[off:off + pn],
+            **_pallas_occ_args(psc), mode=mode,
+            cand_mask=None if cand is None else cand[off:off + pn], **kw)
+        if mode != "occluded":
+            res["vol"] = jnp.where(res["hit"], res["vol"] + off, res["vol"])
+        if best is None:
+            best = res
+        elif mode == "occluded":
+            best["hit"] = best["hit"] | res["hit"]
+        else:
+            adopt = res["hit"] & (res["t"] < best["t"])
+            best = {k: jnp.where(adopt, res[k], best[k]) for k in best}
+            best["hit"] = best["hit"] | res["hit"]
+            best["hit"] = best["hit"] & active
+        off += pn
+    return best
 
 
 def find_nearest_world(scene: SceneData, o, d, active,
@@ -231,10 +282,14 @@ def find_nearest_world(scene: SceneData, o, d, active,
     if no_skip and _use_pallas(scene):
         from voxtracer.kernels.pallas_dda import traverse_pallas
 
-        res = traverse_pallas(*_vol_args(scene), o3, d3,
-                              jnp.full(n, BIG, F32), active, vol_enabled,
-                              **_pallas_occ_args(scene), mode="nearest",
-                              cand_mask=cand)
+        if _pages(scene) is not None:
+            res = _paged_traverse(scene, o3, d3, jnp.full(n, BIG, F32),
+                                  active, vol_enabled, cand, "nearest")
+        else:
+            res = traverse_pallas(*_vol_args(scene), o3, d3,
+                                  jnp.full(n, BIG, F32), active, vol_enabled,
+                                  **_pallas_occ_args(scene), mode="nearest",
+                                  cand_mask=cand)
     elif no_skip:
         res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3,
                                         jnp.full(n, BIG, F32), active,
@@ -283,10 +338,15 @@ def is_occluded_world(scene: SceneData, o, d, t_limit, active,
     if _use_pallas(scene):
         from voxtracer.kernels.pallas_dda import traverse_pallas
 
-        res = traverse_pallas(*_vol_args(scene), o3, d3, t_limit, active,
-                              jnp.ones(scene.volumes.n, bool),
-                              **_pallas_occ_args(scene), mode="occluded",
-                              cand_mask=cand)
+        if _pages(scene) is not None:
+            res = _paged_traverse(scene, o3, d3, t_limit, active,
+                                  jnp.ones(scene.volumes.n, bool), cand,
+                                  "occluded")
+        else:
+            res = traverse_pallas(*_vol_args(scene), o3, d3, t_limit, active,
+                                  jnp.ones(scene.volumes.n, bool),
+                                  **_pallas_occ_args(scene), mode="occluded",
+                                  cand_mask=cand)
     else:
         res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3, t_limit,
                                         active,
@@ -310,7 +370,26 @@ def material_exit_world(scene: SceneData, o, d, vol_idx, mode_code, mask):
     # (2*V*M^3 rows of 16 words = 64*V KiB at M=8); cap where that plus
     # buffering approaches the 16 MB scoped budget (city V=17 verified OK
     # after the read-rows-at-use-time fix)
-    if _use_pallas(scene) and scene.volumes.n <= 48:
+    if _use_pallas(scene) and _pages(scene) is not None:
+        # paged exit: each ray's own volume lives in exactly one page —
+        # run the page kernel on the rays whose vol_idx falls in range
+        from voxtracer.kernels.pallas_dda import exit_pallas
+
+        res = None
+        off = 0
+        for pv in scene.volumes.pages:
+            pn = pv.n
+            psc = scene.replace(volumes=pv)
+            in_page = (vol_idx >= off) & (vol_idx < off + pn)
+            local = jnp.clip(vol_idx - off, 0, pn - 1)
+            r = exit_pallas(*_vol_args(psc), o3, d3, mask & in_page,
+                            mode_code, local, **_occ_args(psc))
+            if res is None:
+                res = r
+            else:
+                res = {k: jnp.where(in_page, r[k], res[k]) for k in res}
+            off += pn
+    elif _use_pallas(scene) and scene.volumes.n <= 48:
         from voxtracer.kernels.pallas_dda import exit_pallas
 
         res = exit_pallas(*_vol_args(scene), o3, d3, mask, mode_code,

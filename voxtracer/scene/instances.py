@@ -180,8 +180,20 @@ def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVo
     lo, hi = instance_world_aabbs(vols)
     bvh = build_tlas(lo, hi)
 
-    # compacted plane-0 occupancy rows (kernels/pallas_dda.py descend path)
-    occ0 = vols.occ[0].reshape(v * mmax ** 3, 16)
+    vols = compact_tables(vols)
+    return vols.replace(
+        tlas_nmin=bvh["nmin"], tlas_nmax=bvh["nmax"], tlas_left=bvh["left"],
+        tlas_first=bvh["first"], tlas_count=bvh["count"],
+        tlas_order=bvh["order"].astype(np.int32))
+
+
+def compact_tables(vols: VoxVolumes) -> VoxVolumes:
+    """Compacted plane-0 occupancy rows + per-volume palettes for the
+    Pallas descend path (kernels/pallas_dda.py): occupied bricks only,
+    in (volume, brick) order, padded to a multiple of 128 rows."""
+    v = vols.n
+    mmax = vols.bricks.shape[1]
+    occ0 = np.asarray(vols.occ[0]).reshape(v * mmax ** 3, 16)
     nz = (occ0 != 0).any(axis=1)
     slots = np.zeros(occ0.shape[0], np.int32)
     slots[nz] = np.arange(int(nz.sum()), dtype=np.int32)
@@ -190,14 +202,41 @@ def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVo
     if pad or rows0.shape[0] == 0:
         rows0 = np.concatenate(
             [rows0, np.zeros((pad or 128, 16), np.int32)], axis=0)
-    pal, pal_rows0 = build_palette_rows(grids, nz, rows0.shape[0], mmax)
+    pal, pal_rows0 = build_palette_rows(np.asarray(vols.grids), nz,
+                                        rows0.shape[0], mmax)
     return vols.replace(
         pal=pal, pal_rows0=pal_rows0,
-        tlas_nmin=bvh["nmin"], tlas_nmax=bvh["nmax"], tlas_left=bvh["left"],
-        tlas_first=bvh["first"], tlas_count=bvh["count"],
-        tlas_order=bvh["order"].astype(np.int32),
         occ_slot=slots.reshape(v, mmax ** 3),
         occ_rows0=rows0)
+
+
+def paginate_volumes(vols: VoxVolumes, page: int = 24) -> VoxVolumes:
+    """Split a large instance set into pages of <= `page` volumes, each
+    with its own (short) compacted descend tables, stored on
+    `vols.pages`.  The Pallas traversal walks one page at a time and
+    min-merges — the per-fetch where-chain length scales with the PAGE's
+    table sizes, not the whole scene's, so the V<=64 VMEM-chain cliff
+    (VERDICT r2 item 3) goes away.  Page order preserves volume order, so
+    the earliest-volume tie-break survives the merge.  The parent's own
+    arrays are untouched (the XLA/oracle paths keep using them)."""
+    v = vols.n
+    if v <= page:
+        return vols
+    pages = []
+    for lo in range(0, v, page):
+        hi = min(lo + page, v)
+        sub = VoxVolumes(
+            grids=np.asarray(vols.grids)[lo:hi],
+            gridsize=np.asarray(vols.gridsize)[lo:hi],
+            inv=np.asarray(vols.inv)[lo:hi],
+            fwd=np.asarray(vols.fwd)[lo:hi],
+            cube_min=np.asarray(vols.cube_min)[lo:hi],
+            bricks=np.asarray(vols.bricks)[lo:hi],
+            bricksize=np.asarray(vols.bricksize)[lo:hi],
+            occ=np.asarray(vols.occ)[:, lo:hi],
+        )
+        pages.append(compact_tables(sub))
+    return vols.replace(pages=tuple(pages))
 
 
 def make_spheres(items=()) -> Spheres:

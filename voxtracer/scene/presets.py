@@ -110,7 +110,8 @@ def monu_path(width=1920, height=1080, gridsize=64, which=(1, 2, 3), bounces=4,
     return scene, cfg
 
 
-def city_path(width=1920, height=1080, gridsize=64, nx=4, nz=4, bounces=4, spp=1):
+def city_path(width=1920, height=1080, gridsize=64, nx=4, nz=4, bounces=4,
+              spp=1, vary_scale=False):
     """Config 5: grid of Small/Tall buildings — the TLAS/multi-instance
     stress scene."""
     mats = default_materials()
@@ -123,19 +124,41 @@ def city_path(width=1920, height=1080, gridsize=64, nx=4, nz=4, bounces=4, spp=1
     for ix in range(nx):
         for iz in range(nz):
             g = grids[int(rng.integers(0, len(grids)))]
+            s = float(rng.uniform(0.7, 1.3)) if vary_scale else 1.0
             specs.append(VolumeSpec(
                 position=(ix * 0.6 - nx * 0.3, 0.0, iz * 0.6 - nz * 0.3),
-                gridsize=gridsize, grid=g,
+                gridsize=gridsize, grid=g, scale=(s, s, s),
                 rotation=(0.0, float(rng.integers(0, 4)) * np.pi / 2.0, 0.0)))
     specs.append(VolumeSpec(position=(0.0, -0.51, 0.0), gridsize=1,
                             scale=(12.0, 0.02, 12.0), grid=solid_grid(1, 0)))
     vols = build_volumes(specs)
+    if len(specs) > 64:
+        from voxtracer.scene.instances import paginate_volumes
+
+        vols = paginate_volumes(vols)
     lights = make_lights(point=((0.0, 5.0, -4.0, 20.0, 20.0, 18.0),))
     cam = make_camera(pos=(-1.5, 1.6, -3.2), target=(0.0, 0.3, 0.0), aspect=width / height)
     scene = _assemble(vols, mats, lights=lights, sky=_sky(), camera=cam)
     cfg = RenderConfig(width=width, height=height, mode="path", max_bounces=bounces,
                        spp=spp, activate_sky=True)
     return scene, cfg
+
+
+def city_xl_path(width=1920, height=1080, gridsize=64, bounces=4, spp=1):
+    """Config 5 at its BLUEPRINT scale (BASELINE.md "full city"): an
+    11x10 block grid = 110 building instances (all three models, 4
+    rotations, varied scales) + floor = 111 volumes.  Above the Pallas
+    V-cap the volume set is paged (scene/instances.paginate_volumes), so
+    traversal stays on the VMEM kernel instead of the XLA fallback; the
+    camera pulls back to frame the full grid.  Reference scale anchor:
+    renderer.h:213 runs 13-21 live volumes — this is the scale the
+    reference's dormant BVH (renderer.h:220) was meant for."""
+    scene, cfg = city_path(width=width, height=height, gridsize=gridsize,
+                           nx=11, nz=10, bounces=bounces, spp=spp,
+                           vary_scale=True)
+    cam = make_camera(pos=(-3.4, 2.6, -5.6), target=(0.0, 0.2, 0.0),
+                      aspect=width / height)
+    return scene.replace(camera=cam), cfg
 
 
 def glass_sphere_box(width=64, height=64):

@@ -92,6 +92,30 @@ class TermDisplay:
 
 # ------------------------------------------------------------------ live loop
 
+def _make_live_step():
+    """ONE fused jitted dispatch per frame: render sample -> progressive
+    lerp -> Reinhard-Jodie -> uint8.  Every separate eager op through the
+    device tunnel costs a ~25 ms round trip (PERF_NOTES.md), so the frame
+    loop ships exactly one program and pulls exactly one small uint8
+    image."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from voxtracer.render.integrator import render
+    from voxtracer.render.tonemap import to_rgb8
+
+    @partial(jax.jit, static_argnames=("cfg", "spp"))
+    def step(scene, cfg, acc, n_frames, key, spp):
+        img = render(scene, cfg, key, spp)
+        w = 1.0 / (n_frames.astype(jnp.float32) + 1.0)
+        acc = acc * (1.0 - w) + img * w
+        return acc, to_rgb8(acc)
+
+    return step
+
+
 def run_live(scene, cfg, *, max_frames: int = 0, script=None,
              display: bool = True, spp: int = 1, seed: int = 0,
              edit_material: int = 6):
@@ -104,16 +128,15 @@ def run_live(scene, cfg, *, max_frames: int = 0, script=None,
     import jax
     import jax.numpy as jnp
 
-    from voxtracer.render.accumulate import ProgressiveState
     from voxtracer.render.flycam import FlyState, handle_input, to_camera
-    from voxtracer.render.integrator import render
-    from voxtracer.render.tonemap import to_rgb8
     from voxtracer.utils.profiling import FrameReport
 
     scene = jax.tree.map(jnp.asarray, scene)
     fly = FlyState.from_camera(scene.camera)
     aspect = cfg.width / cfg.height
-    prog = ProgressiveState(cfg.height, cfg.width)
+    live_step = _make_live_step()
+    acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    n_acc = 0
     # per-frame stats go to the HUD line, not stderr, when displaying
     import io
 
@@ -165,18 +188,24 @@ def run_live(scene, cfg, *, max_frames: int = 0, script=None,
                 scene = scene.replace(camera=jax.tree.map(
                     jnp.asarray, to_camera(fly, aspect, scene.camera)))
             if moved or edited:
-                prog.reset()
+                n_acc = 0  # ResetAccumulator (renderer.cpp:343); weight
+                # 1/(0+1)=1 overwrites acc, no device-side zeroing needed
 
-            img = render(scene, cfg, jax.random.fold_in(key, frame), spp)
-            acc = prog.add(img)
-            rgb = np.asarray(to_rgb8(acc))
+            acc, rgb_dev = live_step(scene, cfg, acc,
+                                     jnp.int32(n_acc),
+                                     jax.random.fold_in(key, frame), spp)
+            rgb = np.asarray(rgb_dev)
+            n_acc += 1
             dt = time.time() - t0
             dt_ms = dt * 1000.0
+            if not display:
+                print(f"raw {dt_ms:.1f} ms keys={sorted(keys)}",
+                      file=sys.stderr, flush=True)
             stats = report.frame(dt)
             if disp is not None:
                 disp.show(rgb, f"{stats['ms']:.1f}ms ({stats['fps']:.1f}fps) "
                                f"{stats['mrays_s']:.2f}Mrays/s  "
-                               f"spp={prog.frames} "
+                               f"spp={n_acc} "
                                f"pos=({fly.pos[0]:.1f},{fly.pos[1]:.1f},"
                                f"{fly.pos[2]:.1f})  [wasd/qe/arrows, "
                                f"m/n edit, x quit]")
