@@ -552,11 +552,33 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
             per-volume [1] columns)."""
             return a[j]
 
-        def ustep(carry, ki):
-            trans, cr, cg_, cb_ = carry  # [N]
-            t_mid = u0 + (ki + 0.5) * dt_u
-            flat = jnp.zeros(n, jnp.int32)
-            inside_any = jnp.zeros(n, bool)
+        # STEP-BATCHED march (round 3): the sequential lax.scan over steps
+        # cost ~4.7 ms/step at 262 K rays — pure loop/launch structure, not
+        # gathers (every fetch/adjoint ablation measured ~0 delta,
+        # scripts/bench_bwd3.py).  Front-to-back compositing is
+        # order-free in log space: the prefix product of (1-alpha_j) =
+        # exp(-sum_j od_j), so ONE exclusive cumsum over a [S, N] batch
+        # replaces the scan, forward and backward both.
+        def seg_composite(carry, od, ar, ag, ab_):
+            """Composite a batched segment onto the carry.
+
+            od: [S, N] per-step optical depth; ar/ag/ab_: per-step albedo
+            ([S, N] or scalar).  Algebraically identical to the former
+            per-step recurrence (alpha = 1-exp(-od), trans *= exp(-od))."""
+            trans, cr, cg_, cb_ = carry
+            cum = jnp.cumsum(od, axis=0)          # inclusive prefix
+            t_ex = jnp.exp(od - cum)              # exclusive prefix product
+            w = trans[None] * t_ex * (1.0 - jnp.exp(-od))  # [S, N]
+            cr = cr + jnp.sum(w * ar, axis=0)
+            cg_ = cg_ + jnp.sum(w * ag, axis=0)
+            cb_ = cb_ + jnp.sum(w * ab_, axis=0)
+            return (trans * jnp.exp(-cum[-1]), cr, cg_, cb_)
+
+        def core_seg(carry):
+            ki = (jnp.arange(n_steps, dtype=F32) + 0.5)[:, None]  # [S, 1]
+            t_mid = u0 + ki * dt_u  # [S, N]
+            flat = jnp.zeros((n_steps, n), jnp.int32)
+            inside_any = jnp.zeros((n_steps, n), bool)
             for j in range(v_eff):
                 gsf = pairc(gs_f, j)
                 gsi = pairc(gs_i, j)
@@ -571,46 +593,39 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
                 f = (ix * g + iy) * g + iz + pairc(vbase, j)
                 flat = jnp.where(inside & ~inside_any, f, flat)
                 inside_any = inside_any | inside
-            cells = _cell_fetch(dens_flat, cell_tab, flat)
-            s = jnp.where(inside_any, cells[:, 0], 0.0)
+            cells = _cell_fetch(dens_flat, cell_tab, flat.reshape(-1))
+            s = jnp.where(inside_any, cells[:, 0].reshape(n_steps, n), 0.0)
             m = cells[:, 1].astype(jnp.int32)
-            alb = _rows(alb_tab, m)
-            alpha = 1.0 - jnp.exp(-s * dt_u)
-            wgt = trans * alpha
-            cr = cr + wgt * jnp.where(inside_any, alb[:, 0], 0.0)
-            cg_ = cg_ + wgt * jnp.where(inside_any, alb[:, 1], 0.0)
-            cb_ = cb_ + wgt * jnp.where(inside_any, alb[:, 2], 0.0)
-            return (trans * (1.0 - alpha), cr, cg_, cb_), None
+            alb = _rows(alb_tab, m)  # [S*N, 3]
+            ar = jnp.where(inside_any, alb[:, 0].reshape(n_steps, n), 0.0)
+            ag = jnp.where(inside_any, alb[:, 1].reshape(n_steps, n), 0.0)
+            ab_ = jnp.where(inside_any, alb[:, 2].reshape(n_steps, n), 0.0)
+            return seg_composite(carry, s * dt_u, ar, ag, ab_)
 
-        def brick_step(j, t_start, dtp):
-            """Pair-j lead/tail segment at brick granularity, [N] carry."""
+        def brick_seg(carry, j, t_start, dtp):
+            """Pair-j lead/tail segment at brick granularity, batched."""
             gsf = pairc(gs_f, j)
             gsi = pairc(gs_i, j)
             ms_i = (gsi + 7) // 8
             vbj = (vol_ids[j] if vol_ids.ndim == 2 else vol_ids[j, 0])
+            ki = (jnp.arange(span_steps, dtype=F32) + 0.5)[:, None]
+            t_mid = t_start + ki * dtp  # [S, N]
+            lx = (vox[j] + t_mid * vdx[j] - pairc(bx, j)) * gsf
+            ly = (voy[j] + t_mid * vdy[j] - pairc(by, j)) * gsf
+            lz = (voz[j] + t_mid * vdz[j] - pairc(bz, j)) * gsf
+            ibx = jnp.clip((lx * 0.125).astype(jnp.int32), 0, ms_i - 1)
+            iby = jnp.clip((ly * 0.125).astype(jnp.int32), 0, ms_i - 1)
+            ibz = jnp.clip((lz * 0.125).astype(jnp.int32), 0, ms_i - 1)
+            inside = ((lx >= 0.0) & (lx < gsf) & (ly >= 0.0)
+                      & (ly < gsf) & (lz >= 0.0) & (lz < gsf))
+            flat_b = (vbj * m3 + (ibx * msp + iby) * msp + ibz)
+            flat_b = jnp.broadcast_to(flat_b, (span_steps, n))
+            sb = jnp.where(inside,
+                           _bsig_rows(bsig, flat_b.reshape(-1))
+                           .reshape(span_steps, n), 0.0)
+            return seg_composite(carry, sb * dtp, alb_none[0], alb_none[1],
+                                 alb_none[2])
 
-            def bstep(carry, ki):
-                trans, cr, cg_, cb_ = carry
-                t_mid = t_start + (ki + 0.5) * dtp
-                lx = (vox[j] + t_mid * vdx[j] - pairc(bx, j)) * gsf
-                ly = (voy[j] + t_mid * vdy[j] - pairc(by, j)) * gsf
-                lz = (voz[j] + t_mid * vdz[j] - pairc(bz, j)) * gsf
-                ibx = jnp.clip((lx * 0.125).astype(jnp.int32), 0, ms_i - 1)
-                iby = jnp.clip((ly * 0.125).astype(jnp.int32), 0, ms_i - 1)
-                ibz = jnp.clip((lz * 0.125).astype(jnp.int32), 0, ms_i - 1)
-                inside = ((lx >= 0.0) & (lx < gsf) & (ly >= 0.0)
-                          & (ly < gsf) & (lz >= 0.0) & (lz < gsf))
-                flat_b = vbj * m3 + (ibx * msp + iby) * msp + ibz
-                sb = jnp.where(inside, _bsig_rows(bsig, flat_b), 0.0)
-                alpha = 1.0 - jnp.exp(-sb * dtp)
-                wgt = trans * alpha
-                cr = cr + wgt * alb_none[0]
-                cg_ = cg_ + wgt * alb_none[1]
-                cb_ = cb_ + wgt * alb_none[2]
-                return (trans * (1.0 - alpha), cr, cg_, cb_), None
-            return jax.checkpoint(bstep) if _REMAT else bstep
-
-        steps_u = jnp.arange(span_steps, dtype=F32)
         carry = (jnp.ones(n, F32), jnp.zeros(n, F32), jnp.zeros(n, F32),
                  jnp.zeros(n, F32))
         for j in range(v_eff):  # leads (all precede the union core)
@@ -618,18 +633,14 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
             dtp = jnp.where(hit[j],
                             jnp.maximum(lead_hi - t0[j], 0.0) / span_steps,
                             0.0)
-            carry, _ = jax.lax.scan(brick_step(j, t0[j], dtp), carry,
-                                    steps_u)
-        ustep_fn = jax.checkpoint(ustep) if _REMAT else ustep
-        carry, _ = jax.lax.scan(ustep_fn, carry,
-                                jnp.arange(n_steps, dtype=F32))
+            carry = brick_seg(carry, j, t0[j], dtp)
+        carry = core_seg(carry)
         for j in range(v_eff):  # tails (all follow the union core)
             tail_lo = jnp.maximum(u1, t0[j])
             dtp = jnp.where(hit[j],
                             jnp.maximum(t1[j] - tail_lo, 0.0) / span_steps,
                             0.0)
-            carry, _ = jax.lax.scan(brick_step(j, tail_lo, dtp), carry,
-                                    steps_u)
+            carry = brick_seg(carry, j, tail_lo, dtp)
         trans_n, out_r, out_g, out_b = carry
         t_total = trans_n
         color = jnp.stack([out_r, out_g, out_b], axis=-1)
