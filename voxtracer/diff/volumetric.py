@@ -128,6 +128,30 @@ _bsig_rows.defvjp(_bsig_rows_fwd, _bsig_rows_bwd)
 
 
 @jax.custom_vjp
+def _perm_rows(x, idx, inv_idx):
+    """Row gather by a PERMUTATION (the active-ray un-compaction).
+
+    XLA cannot see that idx is bijective, so the autodiff adjoint of
+    take(x, idx) is a [N,3] row scatter-add — measured 40 ns/row
+    (41.6 ms/band at 1080p, the single hottest op in the round-3 grad
+    trace).  The adjoint of a bijective gather is just the gather by the
+    inverse permutation (~5 ns/row): y_i = x[idx_i]  =>  dx = ct[inv_idx]."""
+    return jnp.take(x, idx, axis=0)
+
+
+def _perm_rows_fwd(x, idx, inv_idx):
+    return jnp.take(x, idx, axis=0), (inv_idx,)
+
+
+def _perm_rows_bwd(res, ct):
+    (inv_idx,) = res
+    return jnp.take(ct, inv_idx, axis=0), None, None
+
+
+_perm_rows.defvjp(_perm_rows_fwd, _perm_rows_bwd)
+
+
+@jax.custom_vjp
 def _cell_fetch(dens_flat, cell_tab, idx):
     """[T,2] row gather (density, material) whose density-adjoint is a 1-D
     scatter: a [N,2]-row scatter-add costs 41 ns/row on this chip, the 1-D
@@ -672,8 +696,8 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
     if compact:
         tail = sample_sky(scene.sky, jnp.take(d_full, perm[na:], axis=0),
                           cfg.activate_sky, cfg.sky_fallback)
-        img = jnp.take(jnp.concatenate([img, tail], axis=0), inv_perm,
-                       axis=0)
+        img = _perm_rows(jnp.concatenate([img, tail], axis=0), inv_perm,
+                         perm)
     return img.reshape(rows or cfg.height, cfg.width, 3)
 
 
