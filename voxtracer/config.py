@@ -56,6 +56,23 @@ class RenderConfig:
     # shadow pass per bounce and only the game consumes it.
     detect_light_kill: bool = False
     light_kill_threshold: float = 16.0
+    # Sampler for the stochastic integrator streams: "hash" (counter-based
+    # PCG hash, core/rng.py — the reference's xorshift-class cost,
+    # deterministic; ~30 ms/frame cheaper at 1080p x 4 bounces) or
+    # "threefry" (jax.random; same estimators, different sample values —
+    # kept for tests that pin jax.random streams).
+    rng: str = "hash"
+    # Ray dispatch order inside a render band: "scanline" (row-major) or
+    # "tile" (8x128-pixel tiles, one per 1024-lane Pallas block).  The
+    # Pallas traversal runs each block in lockstep until its slowest lane
+    # finishes; scanline blocks span half a 1080p row and pay the
+    # cross-image trip-count tail (measured block-trip mean 5.35 vs
+    # per-ray mean 2.40, PERF_NOTES round-4), while spatially-compact
+    # tiles cut the nearest pass 12.9 -> 8.6 ms (1.5x).  Pure dispatch
+    # order: per-pixel estimators are unchanged (deterministic modes are
+    # bit-identical; stochastic modes reassign which lane gets which
+    # jitter sample).  Falls back to scanline when width % 128 != 0.
+    ray_order: str = "tile"
     # route instance culling through the TLAS BVH walk (kernels/tlas.py —
     # the reference's dormant BasicBVH made queryable) instead of the
     # dense per-ray slab test.  Results are bit-identical

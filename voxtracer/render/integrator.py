@@ -54,6 +54,25 @@ F32 = jnp.float32
 TWO_PI = 6.283185307179586
 
 
+def _uni(cfg: RenderConfig, key, salt: int, shape):
+    """Uniform [0,1) sample stream: cfg.rng selects the counter-hash
+    sampler (core/rng.py, ~20x cheaper on TPU) or jax.random threefry.
+    Both are deterministic functions of (key, salt, lane)."""
+    if cfg.rng == "hash":
+        from voxtracer.core.rng import hash_uniform
+
+        return hash_uniform(key, salt, shape)
+    return jax.random.uniform(jax.random.fold_in(key, salt), shape, F32)
+
+
+def _nrml(cfg: RenderConfig, key, salt: int, shape):
+    if cfg.rng == "hash":
+        from voxtracer.core.rng import hash_normal
+
+        return hash_normal(key, salt, shape)
+    return jax.random.normal(jax.random.fold_in(key, salt), shape, F32)
+
+
 # --------------------------------------------------------------------------
 # Component-tuple vector helpers (SoA [N] per axis)
 # --------------------------------------------------------------------------
@@ -480,7 +499,7 @@ def _area_contribution(scene, cfg, p, nrm, alb, idx, active, key):
     origin = coffset(p, nrm)
     acc = (jnp.zeros(nrays, F32),) * 3
     for k in range(cfg.num_area_samples):
-        gk = jax.random.normal(jax.random.fold_in(key, k), (3, nrays), F32)
+        gk = _nrml(cfg, key, 200 + k, (3, nrays))
         rnd = coctant_dir((gk[0], gk[1], gk[2]))
         target = cadd(cscale(lrad, rnd), lpos)
         to_l = csub(target, p)
@@ -539,7 +558,7 @@ def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key,
             jnp.zeros(nrays, jnp.int32), active, key))
         return acc
 
-    u = jax.random.uniform(jax.random.fold_in(key, 7), (nrays,), F32)
+    u = _uni(cfg, key, 7, (nrays,))
     idx = jnp.minimum((u * total).astype(jnp.int32), total - 1)
     acc = zero
 
@@ -578,7 +597,7 @@ def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key,
         lcol = cpack(jnp.take(L.area_color, i_a, axis=0))
         lmul = jnp.take(L.area_mult, i_a, axis=0)
         lrad = jnp.take(L.area_radius, i_a, axis=0)
-        gk = jax.random.normal(jax.random.fold_in(key, 11), (3, nrays), F32)
+        gk = _nrml(cfg, key, 11, (3, nrays))
         rnd = coctant_dir((gk[0], gk[1], gk[2]))
         target = cadd(cscale(lrad, rnd), lpos)
         to_l = csub(target, p)
@@ -716,7 +735,7 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
                                & (cdot(lk, lk) > cfg.light_kill_threshold))
 
     # ---- NEE for diffuse-ish lobes
-    u_lobe = jax.random.uniform(jax.random.fold_in(bkey, 1), (n,), F32)
+    u_lobe = _uni(cfg, bkey, 1, (n,))
     cos_in = jnp.clip(cdot(cneg(d), nrm), a_max=1.0)
     go_diffuse = u_lobe > mathx.schlick_nonmetal(cos_in)
     nee_mask = active & ((is_nonmetal & go_diffuse) | is_model)
@@ -728,8 +747,8 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
                  cadd(rad, cmul(st["tp"], cmul(alb, inc))), rad)
 
     # ---- continuation directions per lobe
-    u_sph = jax.random.uniform(jax.random.fold_in(bkey, 3), (3, n), F32)
-    g_hemi = jax.random.normal(jax.random.fold_in(bkey, 4), (3, n), F32)
+    u_sph = _uni(cfg, bkey, 3, (3, n))
+    g_hemi = _nrml(cfg, bkey, 4, (3, n))
     refl = creflect(d, nrm)
     sph = csphere_sample(u_sph[0], u_sph[1], u_sph[2])
     spec_dir = cadd(refl, cscale(rough, sph))
@@ -741,7 +760,7 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
     cos_g = jnp.minimum(cdot(cneg(d), nrm), 1.0)
     sin_g = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_g * cos_g))
     cannot_refract = ratio * sin_g > 1.0
-    u_f = jax.random.uniform(jax.random.fold_in(bkey, 5), (n,), F32)
+    u_f = _uni(cfg, bkey, 5, (n,))
     do_reflect = cannot_refract | (mathx.schlick(cos_g, ratio, jnp) > u_f)
     refr_dir = crefract(d, nrm, ratio)
     glass_dir = cwhere(do_reflect, refl, refr_dir)
@@ -752,8 +771,8 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
     # unconditional ratio-1 "refraction" pass-through
     intensity = jnp.where(in_glass & is_smoke, emis, 0.0)
     dist = jnp.where(march, t, 0.0)
-    u_s = jax.random.uniform(jax.random.fold_in(bkey, 6), (2, n), F32)
-    g_oct = jax.random.normal(jax.random.fold_in(bkey, 8), (3, n), F32)
+    u_s = _uni(cfg, bkey, 6, (2, n))
+    g_oct = _nrml(cfg, bkey, 8, (3, n))
     thresh = u_s[0] * 100.0 - intensity
     scatter = active & is_smoke & (u_s[1] * dist > thresh)
     scat_t = t * 0.45 + u_s[0] * (t - t * 0.45)  # Rand(t*.45, t)
@@ -1238,10 +1257,10 @@ def _sample_pixels(scene: SceneData, cfg: RenderConfig, key, px, py,
     n = px.shape[0]
     deterministic = cfg.mode in ("primary", "whitted")
     if not deterministic:
-        u = jax.random.uniform(jax.random.fold_in(key, 100), (n, 2), F32)
+        u = _uni(cfg, key, 100, (n, 2))
         px = px + u[:, 0] * cfg.aa_strength
         py = py + u[:, 1] * cfg.aa_strength
-    lens = (jax.random.uniform(jax.random.fold_in(key, 101), (n, 2), F32)
+    lens = (_uni(cfg, key, 101, (n, 2))
             if (cfg.use_dof and not deterministic) else None)
     o, d = primary_rays(scene.camera, cfg.width, cfg.height, px, py, lens, jnp)
 
@@ -1293,24 +1312,56 @@ def render(scene: SceneData, cfg: RenderConfig, key, spp: int = 1):
     return (acc / spp).reshape(cfg.height, cfg.width, 3)
 
 
+def _tile_shape(cfg: RenderConfig):
+    """(tile_h, tile_w) for cfg.ray_order == "tile", else (None, None)."""
+    if cfg.ray_order != "tile" or cfg.width % 128 != 0:
+        return None, None
+    return 8, 128
+
+
 def _band_radiance(scene: SceneData, cfg: RenderConfig, key, row0, rows: int,
                    spp: int):
     """spp-averaged radiance for `rows` scanlines starting at traced row0
     (an int32 scalar).  Rows past the image bottom are clamped to the last
-    scanline — cheap waste that keeps every band identically shaped."""
-    x = jnp.arange(cfg.width, dtype=F32)
-    y = jnp.arange(rows, dtype=F32) + row0.astype(F32)
-    y = jnp.minimum(y, cfg.height - 1)
-    px, py = jnp.meshgrid(x, y)
-    px, py = px.reshape(-1), py.reshape(-1)
+    scanline — cheap waste that keeps every band identically shaped.
+
+    ray_order "tile": rays are GENERATED in 8x128-pixel-tile order (pure
+    index arithmetic, no gather) so each 1024-lane Pallas block covers one
+    spatially-compact tile instead of half a scanline, and the radiance is
+    un-tiled afterwards with one reshape/transpose (a layout copy at HBM
+    rate, ~0.5 ms/frame) — the measured 1.5x lockstep-tail cut of
+    PERF_NOTES round-4 for every traversal pass of every bounce."""
+    th, tw = _tile_shape(cfg)
+    if th is None:
+        x = jnp.arange(cfg.width, dtype=F32)
+        y = jnp.arange(rows, dtype=F32) + row0.astype(F32)
+        y = jnp.minimum(y, cfg.height - 1)
+        px, py = jnp.meshgrid(x, y)
+        px, py = px.reshape(-1), py.reshape(-1)
+        rows_p = rows
+    else:
+        rows_p = -(-rows // th) * th  # <=7 clamped waste rows per band
+        ntx = cfg.width // tw
+        i = jnp.arange(rows_p * cfg.width, dtype=jnp.int32)
+        tile, rem = i // (th * tw), i % (th * tw)
+        ty, tx = tile // ntx, tile % ntx
+        iy, ix = rem // tw, rem % tw
+        px = (tx * tw + ix).astype(F32)
+        y = (ty * th + iy).astype(F32) + row0.astype(F32)
+        py = jnp.minimum(y, cfg.height - 1)
 
     def body(acc, i):
         k = jax.random.fold_in(jax.random.fold_in(key, i), row0)
         return acc + _sample_pixels(scene, cfg, k, px, py), None
 
-    acc, _ = jax.lax.scan(body, jnp.zeros((rows * cfg.width, 3), F32),
+    acc, _ = jax.lax.scan(body, jnp.zeros((rows_p * cfg.width, 3), F32),
                           jnp.arange(spp))
-    return acc / spp
+    acc = acc / spp
+    if th is not None:
+        acc = acc.reshape(rows_p // th, ntx, th, tw, 3)
+        acc = acc.transpose(0, 2, 1, 3, 4).reshape(rows_p, cfg.width, 3)
+        acc = acc[:rows].reshape(rows * cfg.width, 3)
+    return acc
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp", "rows"))
