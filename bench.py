@@ -64,7 +64,6 @@ def main():
     tiles = int(os.environ.get("BENCH_TILES", 1))
     # backward: union-span relaxed march over the occupied-brick span
     # (scripts/bench_bwd.py sweep)
-    diff_steps = int(os.environ.get("BENCH_DIFF_STEPS", 12))
     span_steps = int(os.environ.get("BENCH_SPAN_STEPS", 1))
     tiles_bwd = int(os.environ.get("BENCH_TILES_BWD", 2))
 
@@ -95,34 +94,65 @@ def main():
     # exact pair-compaction bound for this camera (host slab tests)
     diff_k = min(max_aabb_crossings(scene, cfg), scene.volumes.n)
     log(f"diff pair compaction k={diff_k} of V={scene.volumes.n}; "
-        f"union-span march steps={diff_steps} span={span_steps}")
+        f"union-span march span={span_steps} (binned steps below)")
 
-    from voxtracer.diff.volumetric import active_ray_permutation, mse_loss
+    from voxtracer.diff.volumetric import mse_loss_active, span_cells_bins
+    from voxtracer.render.camera import primary_rays
+    from voxtracer.render.sky import sample_sky
 
-    # active-ray compaction: camera+transform-derived, loop-invariant
-    # across optimizer steps (recomputed on camera move, like the
-    # occupancy spans) — the march costs per ROW, and 75%/5% of the two
-    # bands' rays never touch an instance AABB
-    perms = []
+    # active-ray compaction + span-length binning + loop-invariant
+    # precompute: everything camera-derived (rays, their compaction, the
+    # background sky, the compacted target) is computed ONCE here, outside
+    # the optimizer step — the round-4 trace measured the per-step
+    # un-compaction gathers + sky takes + compaction takes at ~60 ms of a
+    # 237 ms backward, all of it param-independent.  The march costs per
+    # sampled ROW (n_steps x active rays); the clamped core span is
+    # bimodal (p50 0.4 cells vs p90 ~100 at 1080p monu), so each bin
+    # marches with a step count matched to its spans.  Per-bin gradients
+    # sum exactly to the full-band image-MSE gradient (excluded pixels
+    # contribute parameter-free constants).
+    bin_steps = tuple(int(s) for s in os.environ.get(
+        "BENCH_BIN_STEPS", "3,12").split(","))
+    bin_edges = tuple(float(e) for e in os.environ.get(
+        "BENCH_BIN_EDGES", "4").split(","))
+    denom = float(rows * WIDTH * 3)
+    bin_data = []
     for b in range(tiles_bwd):
         r0 = min(b * rows, HEIGHT - rows)
-        p, ip, na = active_ray_permutation(scene, cfg, row0=r0, rows=rows)
-        perms.append((jnp.asarray(p), jnp.asarray(ip), na))
-        log(f"band {b}: active rays {na}/{rows * WIDTH}"
-            f" ({na / (rows * WIDTH):.1%})")
+        x = jnp.arange(WIDTH, dtype=jnp.float32)
+        y = jnp.arange(rows, dtype=jnp.float32) + r0
+        px, py = jnp.meshgrid(x, y)
+        o, d = primary_rays(scene.camera, WIDTH, HEIGHT, px.reshape(-1),
+                            py.reshape(-1), None, jnp)
+        bins = span_cells_bins(scene, cfg, row0=r0, rows=rows,
+                               edges=bin_edges)
+        log(f"band {b}: active bins "
+            + " ".join(f"{na}@{s}st" for (_, _, na), s
+                       in zip(bins, bin_steps)))
+        tgt_flat = target_band.reshape(-1, 3)
+        for (p, ip, na), steps, i in zip(bins, bin_steps,
+                                         range(len(bins))):
+            nap = min(-(-na // 1024) * 1024, o.shape[0])
+            sel = jnp.asarray(p[:nap])
+            oc = jnp.take(o, sel, axis=0)
+            dc = jnp.take(d, sel, axis=0)
+            bg = sample_sky(scene.sky, dc, cfg.activate_sky,
+                            cfg.sky_fallback)
+            t_act = jnp.take(tgt_flat, sel, axis=0)
+            # bin 0 = sub-4-cell spans: skip the transmittance-clamp
+            # nearest pass (render_diff_active clamp=False)
+            bin_data.append((oc, dc, bg, t_act, steps, i > 0))
 
     @jax.jit
     def full_grad(k):
-        # ONE dispatch for all bands + the accumulation (each ~25 ms tunnel
-        # round trip otherwise); the caller's scalar pull forces completion
+        # ONE dispatch for all bands+bins + the accumulation (each ~25 ms
+        # tunnel round trip otherwise); caller's pull forces completion
         total = None
-        for b in range(tiles_bwd):
-            row0 = jnp.float32(min(b * rows, HEIGHT - rows))
-            p, ip, na = perms[b]
-            g = jax.grad(mse_loss)(params, scene, cfg, target_band, k,
-                                   diff_steps, row0=row0, rows=rows,
-                                   k=diff_k, span_steps=span_steps,
-                                   perm=p, inv_perm=ip, n_active=na)
+        for oc, dc, bg, t_act, steps, clamp in bin_data:
+            g = jax.grad(mse_loss_active)(params, scene, cfg, oc, dc, bg,
+                                          t_act, denom, steps, k=diff_k,
+                                          span_steps=span_steps,
+                                          clamp=clamp)
             total = g if total is None else jax.tree.map(jnp.add, total, g)
         return total
 

@@ -233,3 +233,82 @@ def test_replay_reflected_region_convergence():
     rec = np.asarray(params.albedo_table)[1]
     tgt = np.asarray(p_target.albedo_table)[1]
     assert np.abs(rec[1:] - tgt[1:]).max() < 0.15, (rec, tgt)
+
+
+def _glass_scene(w=24, h=24):
+    """Glass slab covering the whole frustum in front of a blue wall: the
+    wall (volume 1) is never the primary hit — every gradient path to its
+    albedo runs through the replayed dielectric chain (entry refraction ->
+    frozen medium march -> exit refraction -> relaxed segment -> NEE),
+    the renderer.cpp:1146-1209 transport (VERDICT r3 item 4)."""
+    mats = default_materials()
+    specs = [
+        # glass slab: z in [0.5, 0.7], spans x/y [-1, 2] (covers frustum)
+        VolumeSpec(position=(0.0, 0.0, 0.05), gridsize=1,
+                   grid=solid_grid(1, 8), scale=(3.0, 3.0, 0.2)),
+        # wall: z in [2.0, 2.2], only visible THROUGH the glass
+        VolumeSpec(position=(0.0, 0.0, 0.8), gridsize=1,
+                   grid=solid_grid(1, 2), scale=(3.0, 3.0, 0.2)),
+    ]
+    vols = build_volumes(specs)
+    # light between the glass exit (z=0.7) and the wall (z=2.0)
+    lights = make_lights(point=((0.5, 0.5, 1.4, 4.0, 4.0, 4.0),))
+    cam = make_camera(pos=(0.5, 0.5, -1.2), target=(0.5, 0.5, 2.1),
+                      aspect=w / h)
+    scene = _assemble(vols, mats, lights=lights, camera=cam)
+    cfg = RenderConfig(width=w, height=h, mode="path", max_bounces=3,
+                       activate_sky=False, deterministic_lights=True)
+    return scene, cfg
+
+
+def test_replay_glass_chain_fd_and_convergence():
+    """Gradients THROUGH a dielectric chain of depth >= 3: FD vs autodiff
+    for the behind-glass wall albedo, and inverse-rendering convergence
+    when the target differs only behind the glass."""
+    scene, cfg = _glass_scene()
+    scene = jax.tree.map(jnp.asarray, scene)
+    _assert_volume_primary_invisible(scene, cfg, 1)
+    params = params_from_scene(scene)
+    key = jax.random.PRNGKey(0)
+
+    true_alb = params.albedo_table.at[2].set(
+        jnp.asarray([0.9, 0.2, 0.1], jnp.float32))
+    target = render_diff_replay(params.replace(albedo_table=true_alb),
+                                scene, cfg, key, **KW)
+
+    def loss(p):
+        img = render_diff_replay(p, scene, cfg, key, **KW)
+        return jnp.sum((img - target) ** 2)
+
+    g = jax.grad(loss)(params)
+    ga = np.asarray(g.albedo_table)
+    assert np.isfinite(ga).all()
+    # the wall's albedo row is reached only through the glass chain
+    assert np.abs(ga[2]).max() > 1e-4
+
+    # FD check on the wall's red channel
+    eps = 1e-2
+    base = float(params.albedo_table[2, 0])
+
+    def at(v):
+        p = params.replace(
+            albedo_table=params.albedo_table.at[2, 0].set(v))
+        return float(loss(p))
+
+    fd = (at(base + eps) - at(base - eps)) / (2 * eps)
+    rel = abs(fd - ga[2, 0]) / max(abs(fd), 1e-6)
+    assert rel < 0.1, (fd, ga[2, 0])
+
+    # convergence: gradient descent on the albedo table recovers the wall
+    # color to a fraction of the initial loss
+    p = params
+    l0 = float(loss(p))
+    lr = 0.5 / max(l0, 1e-6)
+
+    for _ in range(25):
+        gi = jax.grad(loss)(p)
+        p = p.replace(albedo_table=jnp.clip(
+            p.albedo_table - lr * l0 * gi.albedo_table /
+            (jnp.linalg.norm(gi.albedo_table) + 1e-12), 0.0, 1.0))
+    l1 = float(loss(p))
+    assert l1 < 0.35 * l0, (l0, l1)

@@ -207,6 +207,21 @@ def render_diff_replay(params: DiffParams, scene: SceneData, cfg, key,
                       jax.random.fold_in(key, 1), seg_steps)
     direct0 = alb0 * e0
 
+    # -- replayed dielectric chain (depth >= 3): camera -> glass entry ->
+    # medium march -> exit refraction -> behind-glass surface -> light.
+    # Geometry (entry/exit points, refraction directions, the v3 hit) is
+    # FROZEN from the hard tracer; differentiable throughput factors are
+    # the glass albedo row (the reference multiplies albedo per glass
+    # leg, renderer.cpp:1146-1209 / Absorption :1596-1608), the relaxed
+    # transmittance of the exit->v3 segment, and v3's albedo + relaxed
+    # shadow — so a target that differs only INSIDE or BEHIND a glass
+    # volume reaches density/albedo parameters (VERDICT r3 item 4).
+    is_glass0 = hit0 & (m0 == GLASS)
+    vol0 = sg(rec0["vol"])
+    glass_rad = _glass_chain(params, dens_flat, cell_tab, scene, cfg,
+                             o, d, p0, n0, m0, vol0, is_glass0, key,
+                             seg_steps)
+
     # -- replayed bounce: mirror for metals, Lambertian for diffuse
     is_metal = (m0 >= METAL_HIGH) & (m0 <= METAL_LOW)
     is_diffuse = hit0 & (m0 < METAL_HIGH)
@@ -243,10 +258,88 @@ def render_diff_replay(params: DiffParams, scene: SceneData, cfg, key,
     bounce_rad = jnp.where(bounce[:, None], alb0 * v01[:, None] * l1, 0.0)
 
     bg = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
-    lsurf = direct0 + bounce_rad
+    # glass primary hits shade through the chain (the reference's glass
+    # class takes no NEE at the surface, renderer.cpp:1146-1209)
+    lsurf = jnp.where(is_glass0[:, None], glass_rad, direct0 + bounce_rad)
     img = jnp.where(hit0[:, None],
                     w0[:, None] * lsurf + (1.0 - w0)[:, None] * bg, bg)
     return img.reshape(cfg.height, cfg.width, 3)
+
+
+def _glass_chain(params, dens_flat, cell_tab, scene: SceneData, cfg,
+                 o, d, p0, n0, m0, vol0, mask, key, seg_steps: int):
+    """Replayed refract chain through a dielectric (module docstring).
+
+    Deterministic Fresnel split at entry: R goes to the reflected sky
+    (cheap approximation of the reflect branch), (1-R) replays the
+    refract branch: enter -> FindMaterialExit march to the glass exit
+    (frozen, integrator.material_exit_world) -> exit refraction (frozen;
+    exit-TIR lanes terminate black, a truncation the stochastic hard
+    tracer resolves by sampling) -> relaxed transmittance to the next
+    surface -> its albedo x relaxed direct light (or sky on miss).
+    Differentiable: glass albedo row, exit-segment density, v3 albedo
+    row, v3 shadow density.  Ref: renderer.cpp:1146-1209."""
+    from voxtracer.kernels.dda import EXIT_GLASS
+    from voxtracer.render.integrator import (find_nearest_world,
+                                             material_exit_world)
+
+    sg = jax.lax.stop_gradient
+    n = o.shape[0]
+    alb_tab = params.albedo_table
+    ior0 = jnp.take(scene.materials.ior, jnp.clip(m0, 0, 255))
+    cos0 = jnp.minimum(jnp.sum(-d * n0, -1), 1.0)
+    ratio_in = 1.0 / ior0
+    r_fres = mathx.schlick(cos0, ratio_in, jnp)
+    d_in = sg(mathx.refract(d, n0, ratio_in, jnp))
+    o_in = mathx.offset_ray(p0, -n0, jnp)
+
+    # frozen medium march to the glass exit (the ray's own volume)
+    mode_code = jnp.full(n, EXIT_GLASS, jnp.int32)
+    in_vol, t_exit, nrm_exit = material_exit_world(
+        scene, o_in, d_in, jnp.maximum(vol0, 0), mode_code, mask)
+    t_exit = sg(t_exit)
+    # fell off the grid (a boundary-faced glass slab): the reference keeps
+    # the ENTRY normal for the exit refraction (renderer.cpp:1175-1186,
+    # integrator._bounce_core `fell` path)
+    n_exit = sg(jnp.where(in_vol[:, None], jnp.stack(nrm_exit, axis=-1),
+                          n0))
+    p_exit = o_in + t_exit[:, None] * d_in
+
+    # exit refraction, in-glass ratio = ior (cpu_renderer._trace_glass)
+    cos_e = jnp.minimum(jnp.sum(-d_in * n_exit, -1), 1.0)
+    sin_e = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_e * cos_e))
+    tir = ior0 * sin_e > 1.0
+    d_out = sg(mathx.refract(d_in, n_exit, ior0, jnp))
+    o_out = mathx.offset_ray(p_exit, -n_exit, jnp)
+    chain = mask & ~tir
+
+    # frozen v3 hit + differentiable throughput to it
+    rec2 = find_nearest_world(scene, o_out, d_out, chain,
+                              use_tlas=cfg.use_tlas_bvh)
+    hit2 = sg(rec2["hit"])
+    t2 = sg(rec2["t"])
+    m2 = sg(rec2["mat"])
+    n2 = sg(rec2["normal"])
+    p2 = o_out + t2[:, None] * d_out
+    far2 = _far_bound(scene, o_out, d_out)
+    seg_hi = jnp.where(hit2, jnp.maximum(t2 - _EPS, 0.0), far2)
+    tau2 = _segment_tau(dens_flat, cell_tab, scene, o_out, d_out,
+                        jnp.full(n, _EPS, F32), seg_hi, seg_steps, chain)
+    v2 = jnp.exp(-tau2)
+
+    alb2 = _rows(alb_tab, jnp.clip(m2, 0, 255))
+    e2 = _direct_soft(dens_flat, cell_tab, scene, cfg, p2, n2,
+                      chain & hit2, jax.random.fold_in(key, 5), seg_steps)
+    sky2 = sample_sky(scene.sky, d_out, cfg.activate_sky, cfg.sky_fallback)
+    l2 = jnp.where(hit2[:, None], alb2 * e2, sky2)
+
+    # glass-leg albedo (the reference's per-exit color multiply)
+    alb_g = _rows(alb_tab, jnp.clip(m0, 0, 255))
+    refl0 = mathx.reflect(d, n0)
+    sky_r = sample_sky(scene.sky, refl0, cfg.activate_sky, cfg.sky_fallback)
+    chain_rad = jnp.where(chain[:, None], alb_g * v2[:, None] * l2, 0.0)
+    return (r_fres[:, None] * sky_r
+            + (1.0 - r_fres)[:, None] * chain_rad)
 
 
 def mse_loss_replay(params: DiffParams, scene: SceneData, cfg, target, key,

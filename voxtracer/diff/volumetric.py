@@ -36,9 +36,11 @@ BIG = 1e34
 
 # rematerialize the march in backward: ~2x HBM savings for ~1 extra forward
 # of compute — including a SECOND per-sample cell-row gather (~5 ns/row).
-# At 1M-ray band sizes the stored-activation variant fits HBM and skips
-# that re-gather; default OFF, flip on via VOXTRACER_DIFF_REMAT=1 when
-# optimizing at full-frame band sizes.
+# Applies to the DENSE scan path only (span_steps == 0); the step-batched
+# span march bounds its activations by chunking over step sub-segments
+# (_SEG_CHUNK) instead.  At 1M-ray band sizes the stored-activation
+# variant fits HBM and skips that re-gather; default OFF, flip on via
+# VOXTRACER_DIFF_REMAT=1 when optimizing at full-frame band sizes.
 import os as _os
 
 _REMAT = _os.environ.get("VOXTRACER_DIFF_REMAT", "0") == "1"
@@ -192,8 +194,15 @@ def _ray_aabb(cube_min, o, d):
 
 def _occupied_spans(scene: SceneData, vox, voy, voz, vdx, vdy, vdz):
     """Per-pair [V, N] (s0, s1): the t-range of OCCUPIED-brick crossings
-    along each object-space ray — exact slab tests against every brick's
-    AABB, masked by the static occupancy planes (scene.volumes.occ[0]).
+    along each object-space ray, via slab tests against MACRO GROUPS of
+    bricks (2x2x2 bricks per group -> 64 tight AABBs per 8^3 brick grid
+    instead of 512 per-brick tests — the round-3 trace put this pass at
+    ~20 GB of [N, chunk] HBM traffic per band; grouping cuts the slab
+    rows 8x).  Each group's AABB is tight around its OCCUPIED bricks
+    (per-axis min/max), so spans only widen by intra-group gaps (<=1
+    brick) vs the exact per-brick test; wider spans stay CORRECT — the
+    core march just covers a few more statically-empty cells — and the
+    transmittance clamp bounds the tail regardless.
 
     This is the NeRF-style occupancy-grid acceleration for the relaxed
     march: outside [s0, s1] every cell is (statically) empty, so those
@@ -211,45 +220,51 @@ def _occupied_spans(scene: SceneData, vox, voy, voz, vdx, vdy, vdz):
     gs_f = vols.gridsize.astype(F32)  # [V]
     cb = vols.cube_min  # [V, 3]
 
-    bidx = jnp.arange(m3, dtype=jnp.int32)
-    bxc = (bidx // (mside * mside)).astype(F32)
-    byc = ((bidx // mside) % mside).astype(F32)
-    bzc = (bidx % mside).astype(F32)
+    gf = 2 if mside % 2 == 0 else 1  # bricks per group edge
+    gsd = mside // gf
+    g3 = gsd ** 3
+    occ7 = occ_any.reshape(v, gsd, gf, gsd, gf, gsd, gf)
+    bxc = jnp.arange(mside, dtype=F32).reshape(1, gsd, gf, 1, 1, 1, 1)
+    byc = jnp.arange(mside, dtype=F32).reshape(1, 1, 1, gsd, gf, 1, 1)
+    bzc = jnp.arange(mside, dtype=F32).reshape(1, 1, 1, 1, 1, gsd, gf)
+    inf = jnp.float32(1e9)
+    off = (2, 4, 6)
+
+    def mn(c):
+        return jnp.min(jnp.where(occ7, c, inf), axis=off).reshape(v, g3)
+
+    def mx(c):
+        return jnp.max(jnp.where(occ7, c + 1.0, -inf),
+                       axis=off).reshape(v, g3)
+
+    lo_b = (mn(bxc), mn(byc), mn(bzc))  # group AABB in brick units
+    hi_b = (mx(bxc), mx(byc), mx(bzc))
+    occ_g = jnp.any(occ7, axis=off).reshape(v, g3)
 
     s0 = jnp.full((v, n), BIG, F32)
     s1 = jnp.full((v, n), -BIG, F32)
-    chunk = 64
     big = jnp.float32(BIG)
     for vi in range(v):
         bs = 8.0 / gs_f[vi]  # brick extent in object units
-        rdx, rdy, rdz = 1.0 / vdx[vi], 1.0 / vdy[vi], 1.0 / vdz[vi]
+        rd3 = (1.0 / vdx[vi], 1.0 / vdy[vi], 1.0 / vdz[vi])
         o3 = (vox[vi], voy[vi], voz[vi])
-        rd3 = (rdx, rdy, rdz)
-        lo3 = (cb[vi, 0] + bxc * bs, cb[vi, 1] + byc * bs,
-               cb[vi, 2] + bzc * bs)
-        sv0, sv1 = s0[vi], s1[vi]
-        for c0 in range(0, m3, chunk):
-            occ_c = occ_any[vi, c0:c0 + chunk]  # [C]
-            tmin = jnp.full((n, 1), -BIG, F32)
-            tmax = jnp.full((n, 1), BIG, F32)
-            for ax in range(3):
-                lo = lo3[ax][c0:c0 + chunk][None, :]  # [1, C]
-                a = (lo - o3[ax][:, None]) * rd3[ax][:, None]
-                b = a + bs * rd3[ax][:, None]
-                ta = jnp.minimum(a, b)
-                tb = jnp.maximum(a, b)
-                ta = jnp.where(jnp.isnan(ta), -big, ta)
-                tb = jnp.where(jnp.isnan(tb), big, tb)
-                tmin = jnp.maximum(tmin, ta)
-                tmax = jnp.minimum(tmax, tb)
-            tmin = jnp.maximum(tmin, 0.0)
-            hitb = (tmax >= tmin) & occ_c[None, :]
-            sv0 = jnp.minimum(sv0, jnp.min(jnp.where(hitb, tmin, big),
-                                           axis=1))
-            sv1 = jnp.maximum(sv1, jnp.max(jnp.where(hitb, tmax, -big),
-                                           axis=1))
-        s0 = s0.at[vi].set(sv0)
-        s1 = s1.at[vi].set(sv1)
+        tmin = jnp.full((n, 1), -BIG, F32)
+        tmax = jnp.full((n, 1), BIG, F32)
+        for ax in range(3):
+            lo = (cb[vi, ax] + lo_b[ax][vi] * bs)[None, :]  # [1, G3]
+            hi = (cb[vi, ax] + hi_b[ax][vi] * bs)[None, :]
+            a = (lo - o3[ax][:, None]) * rd3[ax][:, None]
+            b = (hi - o3[ax][:, None]) * rd3[ax][:, None]
+            ta = jnp.minimum(a, b)
+            tb = jnp.maximum(a, b)
+            ta = jnp.where(jnp.isnan(ta), -big, ta)
+            tb = jnp.where(jnp.isnan(tb), big, tb)
+            tmin = jnp.maximum(tmin, ta)
+            tmax = jnp.minimum(tmax, tb)
+        tmin = jnp.maximum(tmin, 0.0)
+        hitb = (tmax >= tmin) & occ_g[vi][None, :]
+        s0 = s0.at[vi].set(jnp.min(jnp.where(hitb, tmin, big), axis=1))
+        s1 = s1.at[vi].set(jnp.max(jnp.where(hitb, tmax, -big), axis=1))
     return jax.lax.stop_gradient(s0), jax.lax.stop_gradient(s1)
 
 
@@ -307,18 +322,116 @@ def active_ray_permutation(scene: SceneData, cfg, row0: int = 0,
         t0 = np.maximum(np.nanmax(np.minimum(a, b), axis=1), 0.0)
         t1 = np.nanmin(np.maximum(a, b), axis=1)
         valid |= t1 > t0
-    perm = np.argsort(~valid, kind="stable").astype(np.int32)
+    # secondary key: 8x128-pixel tile id, so the active prefix lands in
+    # spatially-compact Pallas blocks for the in-march transmittance-clamp
+    # nearest pass (same lockstep-tail cut as cfg.ray_order="tile")
+    if cfg.width % 128 == 0:
+        yi, xi = py.reshape(-1).astype(np.int64), px.reshape(-1).astype(np.int64)
+        tile_key = (((yi // 8) * (cfg.width // 128) + xi // 128) * 1024
+                    + (yi % 8) * 128 + xi % 128)
+        perm = np.lexsort((tile_key, ~valid)).astype(np.int32)
+    else:
+        perm = np.argsort(~valid, kind="stable").astype(np.int32)
     inv_perm = np.empty_like(perm)
     inv_perm[perm] = np.arange(perm.shape[0], dtype=np.int32)
     return perm, inv_perm, int(valid.sum())
 
 
+def span_cells_bins(scene: SceneData, cfg, row0: int = 0, rows: int = 0,
+                    edges=(4.0, 32.0)):
+    """HOST-side: split the ACTIVE rays of a band into span-length bins.
+
+    The clamped core span is strongly bimodal at bench settings (p50 0.4
+    cells, p90 ~100 — floor hits vs rays grazing whole building boxes), so
+    a fixed n_steps oversamples half the rays and pays their gather/
+    scatter rows for nothing: rows = n_steps x active rays is the
+    backward's dominant cost (round-4 trace: 200 of 362 ms).  Binning by a
+    cheap span ESTIMATE (sum over volumes of the occupied-AABB crossing
+    length in cells — NumPy slab tests, camera-derived, loop-invariant)
+    lets each bin march with a step count proportional to its spans.
+
+    Returns a list of (perm, inv_perm, n_active) triples — one per bin,
+    shortest spans first; each perm puts that bin's rays in the prefix (in
+    8x128-tile order, see active_ray_permutation) so the existing
+    compaction path applies unchanged.  Gradients of the per-bin renders
+    SUM to the full-band gradient: excluded-active rays render as
+    background in the other bins' calls and contribute zero parameter
+    gradient there."""
+    import numpy as np
+
+    from voxtracer.render.camera import primary_rays
+
+    h = rows or cfg.height
+    x = np.arange(cfg.width, dtype=np.float32)
+    y = np.arange(h, dtype=np.float32) + row0
+    px, py = np.meshgrid(x, y)
+    cam = jax.tree.map(np.asarray, scene.camera)
+    o, d = primary_rays(cam, cfg.width, cfg.height, px.reshape(-1),
+                        py.reshape(-1), None, np)
+    vols = scene.volumes
+    inv = np.asarray(vols.inv)
+    cb = np.asarray(vols.cube_min)
+    gs = np.asarray(vols.gridsize).astype(np.float32)
+    occ_any = np.asarray(jnp.any(vols.occ[0] != 0, axis=-1))  # [V, M3]
+    m3 = occ_any.shape[1]
+    mside = round(m3 ** (1.0 / 3.0))
+    n = o.shape[0]
+    span_cells = np.zeros(n, np.float32)
+    valid = np.zeros(n, bool)
+    for i in range(inv.shape[0]):
+        # tight AABB of this volume's occupied bricks, in object units
+        occ3 = occ_any[i].reshape(mside, mside, mside)
+        if not occ3.any():
+            continue
+        bs = 8.0 / gs[i]
+        idx = np.nonzero(occ3)
+        lo = cb[i] + np.array([a.min() for a in idx], np.float32) * bs
+        hi = cb[i] + np.array([a.max() + 1 for a in idx], np.float32) * bs
+        oo = o @ inv[i, :3, :3].T + inv[i, :3, 3]
+        dd = d @ inv[i, :3, :3].T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rd = 1.0 / dd
+            a = (lo - oo) * rd
+            b = (hi - oo) * rd
+        t0 = np.maximum(np.nanmax(np.minimum(a, b), axis=1), 0.0)
+        t1 = np.nanmin(np.maximum(a, b), axis=1)
+        cross = np.maximum(t1 - t0, 0.0)
+        span_cells += cross * gs[i]
+        # keep active = crosses-any-instance-AABB (the march's own
+        # validity test), not just occupied boxes
+        ao = (cb[i] - oo) * rd
+        bo = (cb[i] + 1.0 - oo) * rd
+        at0 = np.maximum(np.nanmax(np.minimum(ao, bo), axis=1), 0.0)
+        at1 = np.nanmin(np.maximum(ao, bo), axis=1)
+        valid |= at1 > at0
+    # bin id: 0..len(edges) by span estimate, actives only
+    bin_id = np.searchsorted(np.asarray(edges, np.float32), span_cells)
+    if cfg.width % 128 == 0:
+        yi = py.reshape(-1).astype(np.int64)
+        xi = px.reshape(-1).astype(np.int64)
+        tile_key = (((yi // 8) * (cfg.width // 128) + xi // 128) * 1024
+                    + (yi % 8) * 128 + xi % 128)
+    else:
+        tile_key = np.arange(n, dtype=np.int64)
+    out = []
+    for b in range(len(edges) + 1):
+        sel = valid & (bin_id == b)
+        cnt = int(sel.sum())
+        if cnt == 0:
+            continue
+        perm = np.lexsort((tile_key, ~sel)).astype(np.int32)
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(n, dtype=np.int32)
+        out.append((perm, inv_perm, cnt))
+    return out
+
+
 @partial(jax.jit, static_argnames=("n_steps", "cfg", "rows", "k",
-                                   "span_steps", "n_active"))
+                                   "span_steps", "n_active", "clamp"))
 def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 192,
                 density_scale: float = 512.0, row0=None, rows: int = 0,
                 k: int = 0, span_steps: int = 0, perm=None, inv_perm=None,
-                n_active: int = 0):
+                n_active: int = 0, clamp: bool = True):
     """Primary-visibility differentiable render -> [H, W, 3] (or
     [rows, W, 3] when a row band is given — used to bound memory at 1080p).
 
@@ -362,6 +475,45 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
         d_full = d
         o = jnp.take(o, perm[:na], axis=0)
         d = jnp.take(d, perm[:na], axis=0)
+    color, t_total, valid = _march_color(params, scene, cfg, o, d, n_steps,
+                                         density_scale, k, span_steps, clamp)
+    bg = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
+    img = color + t_total[:, None] * bg
+    img = jnp.where(valid[:, None], img, bg)
+    if compact:
+        tail = sample_sky(scene.sky, jnp.take(d_full, perm[na:], axis=0),
+                          cfg.activate_sky, cfg.sky_fallback)
+        img = _perm_rows(jnp.concatenate([img, tail], axis=0), inv_perm,
+                         perm)
+    return img.reshape(rows or cfg.height, cfg.width, 3)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "cfg", "k", "span_steps",
+                                   "clamp"))
+def render_diff_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
+                       n_steps: int, density_scale: float = 512.0,
+                       k: int = 0, span_steps: int = 0, clamp: bool = True):
+    """Compacted-ray differentiable render -> radiance [N, 3].
+
+    The training-loop form of render_diff: o/d are the PRE-compacted
+    active rays of a bin (span_cells_bins) and bg their pre-sampled sky —
+    all camera-derived, loop-invariant across optimizer steps.  Keeping
+    them outside the grad step removes the per-step un-compaction
+    gathers, sky texture takes, and ray-compaction takes the round-4
+    trace measured at ~60 ms of the 237 ms backward (the un-compacted
+    image is a DISPLAY product, not a gradient dependency: every excluded
+    pixel contributes a parameter-free constant to the loss)."""
+    color, t_total, valid = _march_color(params, scene, cfg, o, d, n_steps,
+                                         density_scale, k, span_steps, clamp)
+    img = color + t_total[:, None] * bg
+    return jnp.where(valid[:, None], img, bg)
+
+
+def _march_color(params: DiffParams, scene: SceneData, cfg, o, d,
+                 n_steps: int, density_scale: float, k: int,
+                 span_steps: int, clamp: bool):
+    """The relaxed march over given rays -> (color [N,3], t_total [N],
+    valid [N]).  See render_diff for the estimator documentation."""
     n = o.shape[0]
     v = scene.volumes.n
     g = scene.volumes.pad_size
@@ -550,7 +702,9 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
         margin = 13.8 / jnp.maximum(sig_min, 1e-6) + 1e-3
         ven = jnp.ones(v, bool)
         tlim = jnp.full(n, BIG, F32)
-        if _ABLATE_CLAMP:
+        if _ABLATE_CLAMP or not clamp:
+            # clamp=False: short-span callers (span_cells_bins bin S) skip
+            # the nearest pass — their spans are already a few cells wide
             rec = dict(hit=jnp.zeros(n, bool), t=tlim)
         elif _use_pallas(scene):
             from voxtracer.kernels.pallas_dda import traverse_pallas
@@ -598,11 +752,17 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
             cb_ = cb_ + jnp.sum(w * ab_, axis=0)
             return (trans * jnp.exp(-cum[-1]), cr, cg_, cb_)
 
-        def core_seg(carry):
-            ki = (jnp.arange(n_steps, dtype=F32) + 0.5)[:, None]  # [S, 1]
-            t_mid = u0 + ki * dt_u  # [S, N]
-            flat = jnp.zeros((n_steps, n), jnp.int32)
-            inside_any = jnp.zeros((n_steps, n), bool)
+        # seg_composite composes associatively, so the batched march runs
+        # in step chunks of <= _SEG_CHUNK: intermediates stay [C, N]
+        # instead of [n_steps, N] (an n_steps=192 full-frame call would
+        # otherwise materialize ~150 GB of [S*N] gather rows — ADVICE r3)
+        _SEG_CHUNK = 32
+
+        def core_chunk(carry, k0, ksteps):
+            ki = (jnp.arange(ksteps, dtype=F32) + (k0 + 0.5))[:, None]
+            t_mid = u0 + ki * dt_u  # [C, N]
+            flat = jnp.zeros((ksteps, n), jnp.int32)
+            inside_any = jnp.zeros((ksteps, n), bool)
             for j in range(v_eff):
                 gsf = pairc(gs_f, j)
                 gsi = pairc(gs_i, j)
@@ -618,13 +778,18 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
                 flat = jnp.where(inside & ~inside_any, f, flat)
                 inside_any = inside_any | inside
             cells = _cell_fetch(dens_flat, cell_tab, flat.reshape(-1))
-            s = jnp.where(inside_any, cells[:, 0].reshape(n_steps, n), 0.0)
+            s = jnp.where(inside_any, cells[:, 0].reshape(ksteps, n), 0.0)
             m = cells[:, 1].astype(jnp.int32)
-            alb = _rows(alb_tab, m)  # [S*N, 3]
-            ar = jnp.where(inside_any, alb[:, 0].reshape(n_steps, n), 0.0)
-            ag = jnp.where(inside_any, alb[:, 1].reshape(n_steps, n), 0.0)
-            ab_ = jnp.where(inside_any, alb[:, 2].reshape(n_steps, n), 0.0)
+            alb = _rows(alb_tab, m)  # [C*N, 3]
+            ar = jnp.where(inside_any, alb[:, 0].reshape(ksteps, n), 0.0)
+            ag = jnp.where(inside_any, alb[:, 1].reshape(ksteps, n), 0.0)
+            ab_ = jnp.where(inside_any, alb[:, 2].reshape(ksteps, n), 0.0)
             return seg_composite(carry, s * dt_u, ar, ag, ab_)
+
+        def core_seg(carry):
+            for k0 in range(0, n_steps, _SEG_CHUNK):
+                carry = core_chunk(carry, k0, min(_SEG_CHUNK, n_steps - k0))
+            return carry
 
         def brick_seg(carry, j, t_start, dtp):
             """Pair-j lead/tail segment at brick granularity, batched."""
@@ -690,30 +855,37 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
         t_total = jnp.prod(trans, axis=0)
         color = jnp.stack([out_r, out_g, out_b], axis=-1)
 
-    bg = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
-    img = color + t_total[:, None] * bg
-    img = jnp.where(valid[:, None], img, bg)
-    if compact:
-        tail = sample_sky(scene.sky, jnp.take(d_full, perm[na:], axis=0),
-                          cfg.activate_sky, cfg.sky_fallback)
-        img = _perm_rows(jnp.concatenate([img, tail], axis=0), inv_perm,
-                         perm)
-    return img.reshape(rows or cfg.height, cfg.width, 3)
+    return color, t_total, valid
+
+
+def mse_loss_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
+                    target_active, denom: float, n_steps: int,
+                    k: int = 0, span_steps: int = 0, clamp: bool = True):
+    """Sum of squared errors over the active rays / denom.
+
+    With denom = full-band pixel-element count this has EXACTLY the
+    gradient of the full-band image MSE: the excluded (inactive /
+    other-bin) pixels render parameter-free background, so their loss
+    terms are constants.  target_active = target rows gathered by the
+    bin's perm prefix — loop-invariant, precomputed by the caller."""
+    img = render_diff_active(params, scene, cfg, o, d, bg, n_steps,
+                             k=k, span_steps=span_steps, clamp=clamp)
+    return jnp.sum((img - target_active) ** 2) / denom
 
 
 def mse_loss(params: DiffParams, scene: SceneData, cfg, target, key,
              n_steps: int = 192, row0=None, rows: int = 0, k: int = 0,
              span_steps: int = 0, perm=None, inv_perm=None,
-             n_active: int = 0):
+             n_active: int = 0, clamp: bool = True):
     img = render_diff(params, scene, cfg, key, n_steps, row0=row0, rows=rows,
                       k=k, span_steps=span_steps, perm=perm,
-                      inv_perm=inv_perm, n_active=n_active)
+                      inv_perm=inv_perm, n_active=n_active, clamp=clamp)
     return jnp.mean((img - target) ** 2)
 
 
 grad_fn = jax.jit(jax.grad(mse_loss),
                   static_argnames=("cfg", "n_steps", "rows", "k",
-                                   "span_steps", "n_active"))
+                                   "span_steps", "n_active", "clamp"))
 
 
 def max_aabb_crossings(scene: SceneData, cfg, row0: int = 0,
