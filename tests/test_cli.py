@@ -3,9 +3,15 @@
 import os
 
 import numpy as np
+import pytest
 
 from voxtracer.cli import main
 from voxtracer.io.image import read_png
+
+# minutes-scale on a 2-vCPU box (interpret-mode Pallas kernels, golden
+# renders, multi-second jit compiles): long-lane only, the fast CI gate
+# runs `-m 'not slow'` (pyproject.toml marker)
+pytestmark = pytest.mark.slow
 
 
 def test_cli_render_teapot(tmp_path):

@@ -14,6 +14,11 @@ from voxtracer.diff.volumetric import DiffParams, mse_loss, params_from_scene, r
 from voxtracer.render.integrator import render
 from voxtracer.scene import presets
 
+# minutes-scale on a 2-vCPU box (interpret-mode Pallas kernels, golden
+# renders, multi-second jit compiles): long-lane only, the fast CI gate
+# runs `-m 'not slow'` (pyproject.toml marker)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def teapot_small():

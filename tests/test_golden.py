@@ -19,6 +19,11 @@ from voxtracer.ref.cpu_renderer import Oracle
 from voxtracer.render.integrator import render
 from voxtracer.scene import presets
 
+# minutes-scale on a 2-vCPU box (interpret-mode Pallas kernels, golden
+# renders, multi-second jit compiles): long-lane only, the fast CI gate
+# runs `-m 'not slow'` (pyproject.toml marker)
+pytestmark = pytest.mark.slow
+
 GOLDEN_DIR = pathlib.Path(__file__).parent / "goldens"
 
 

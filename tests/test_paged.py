@@ -15,8 +15,15 @@ from voxtracer.scene.materials import default_materials
 from voxtracer.scene.presets import _assemble
 from voxtracer.render.camera import make_camera
 from voxtracer.render.integrator import (find_nearest_world,
+
                                          is_occluded_world,
                                          material_exit_world)
+
+# minutes-scale on a 2-vCPU box (interpret-mode Pallas kernels, golden
+# renders, multi-second jit compiles): long-lane only, the fast CI gate
+# runs `-m 'not slow'` (pyproject.toml marker)
+pytestmark = pytest.mark.slow
+
 
 N = 256
 

@@ -11,6 +11,11 @@ from voxtracer.kernels import dda, dda_occ
 from voxtracer.kernels.pallas_dda import traverse_pallas
 from tests.test_dda_occ import _args, _rand_rays, _rand_scene
 
+# minutes-scale on a 2-vCPU box (interpret-mode Pallas kernels, golden
+# renders, multi-second jit compiles): long-lane only, the fast CI gate
+# runs `-m 'not slow'` (pyproject.toml marker)
+pytestmark = pytest.mark.slow
+
 N = 384  # padded to 1 block of 16x128 inside the kernel
 
 

@@ -2,12 +2,18 @@
 (SURVEY.md §2 #7 — the reference's dormant BVH, made real)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from voxtracer.kernels.tlas import bvh_candidates
 from voxtracer.scene.instances import VolumeSpec, build_volumes
 from voxtracer.scene.tlas import build_tlas, instance_world_aabbs
 from voxtracer.scene.volume import solid_grid
+
+# minutes-scale on a 2-vCPU box (interpret-mode Pallas kernels, golden
+# renders, multi-second jit compiles): long-lane only, the fast CI gate
+# runs `-m 'not slow'` (pyproject.toml marker)
+pytestmark = pytest.mark.slow
 
 
 def _random_scene(n_vol, seed=0):

@@ -1,10 +1,18 @@
 """Fly camera (camera.h:113-181) + scripted live-viewer loop."""
 
 import numpy as np
+import pytest
 
 from voxtracer.render.camera import make_camera
 from voxtracer.render.flycam import (STOP_ANGLE, FlyState, handle_input,
+
                                      to_camera)
+
+# minutes-scale on a 2-vCPU box (interpret-mode Pallas kernels, golden
+# renders, multi-second jit compiles): long-lane only, the fast CI gate
+# runs `-m 'not slow'` (pyproject.toml marker)
+pytestmark = pytest.mark.slow
+
 
 
 def _mk():
@@ -87,3 +95,59 @@ def test_cli_live_scripted(tmp_path):
 
     cli.main(["live", "--preset", "glassbox", "--width", "32", "--height",
               "32", "--script", "..w.", "--no-display"])
+
+
+def test_apply_edits_keymap():
+    """The widened live-edit keymap (EditState): slot picking, material
+    property nudges with clamping, and light color scaling — each returns
+    edited=True so the loop resets the accumulator (renderer.cpp:343)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voxtracer.scene.presets import glass_sphere_box
+    from voxtracer.viewer import EditState, apply_edits
+
+    scene, cfg = glass_sphere_box(32, 32)
+    scene = jax.tree.map(jnp.asarray, scene)
+    edit = EditState(material=6)
+
+    # digit picks the slot; no scene change
+    s2, edited = apply_edits(scene, {"3"}, edit)
+    assert edit.material == 3 and not edited
+
+    # slot stepping wraps
+    apply_edits(scene, {"["}, edit)
+    assert edit.material == 2
+    apply_edits(scene, {"]"}, edit)
+    assert edit.material == 3
+
+    # albedo brighten
+    before = np.asarray(scene.materials.albedo[3])
+    s2, edited = apply_edits(scene, {"m"}, edit)
+    assert edited
+    assert np.allclose(np.asarray(s2.materials.albedo[3]), before * 1.25)
+
+    # roughness clamps at 1.0
+    s3 = scene
+    for _ in range(15):
+        s3, _ = apply_edits(s3, {"r"}, edit)
+    assert float(s3.materials.roughness[3]) == 1.0
+
+    # ior clamps at 1.0 going down
+    s4 = scene
+    for _ in range(40):
+        s4, _ = apply_edits(s4, {"k"}, edit)
+    assert float(s4.materials.ior[3]) == 1.0
+
+    # light scaling: light 0 is the first point light
+    lb = np.asarray(scene.lights.point_color[0])
+    s5, edited = apply_edits(scene, {"u"}, edit)
+    assert edited
+    assert np.allclose(np.asarray(s5.lights.point_color[0]), lb * 1.25)
+
+    # cycling past the typed banks reaches the directional light
+    for _ in range(scene.lights.count - 1):
+        apply_edits(scene, {"l"}, edit)
+    db = np.asarray(scene.lights.dir_color)
+    s6, _ = apply_edits(scene, {"j"}, edit)
+    assert np.allclose(np.asarray(s6.lights.dir_color), db * 0.8)

@@ -90,6 +90,99 @@ class TermDisplay:
         self.out.flush()
 
 
+# ----------------------------------------------------------------- live edits
+
+class EditState:
+    """Live edit cursor — the ImGui panel analogue (renderer.cpp:2348-2971
+    spirit: every scene parameter tweakable at runtime, each edit resetting
+    the accumulator) as a terminal keymap instead of a widget tree:
+
+      0-9          pick material slot directly; [ / ] step slot -/+
+      m / n        albedo of the slot  x1.25 / x0.8
+      r / f        roughness           +0.1 / -0.1   (clamped 0..1)
+      g / h        emissive strength   +0.5 / -0.5   (clamped >= 0)
+      i / k        IOR                 +0.05 / -0.05 (clamped >= 1)
+      l            cycle the selected light (point -> area -> spot -> dir)
+      u / j        selected light's color x1.25 / x0.8
+    """
+
+    def __init__(self, material: int = 6, light: int = 0):
+        self.material = material
+        self.light = light
+
+    def status(self, scene) -> str:
+        m = scene.materials
+        i = self.material
+        alb = np.asarray(m.albedo[i])
+        return (f"mat {i}: alb=({alb[0]:.2f},{alb[1]:.2f},{alb[2]:.2f}) "
+                f"rough={float(m.roughness[i]):.2f} "
+                f"emis={float(m.emissive[i]):.2f} "
+                f"ior={float(m.ior[i]):.2f} light#{self.light}")
+
+
+def apply_edits(scene, keys, edit: EditState):
+    """Apply this frame's edit keys -> (scene, edited?).  Pure function of
+    the pressed-key set; shared by the live loop and the headless tests."""
+    import jax.numpy as jnp
+
+    edited = False
+    for ch in keys & set("0123456789"):
+        edit.material = int(ch)
+    if "[" in keys:
+        edit.material = (edit.material - 1) % 256
+    if "]" in keys:
+        edit.material = (edit.material + 1) % 256
+    i = edit.material
+    m = scene.materials
+
+    def upd(**kw):
+        nonlocal m, edited
+        m = m.replace(**kw)
+        edited = True
+
+    if "m" in keys:
+        upd(albedo=m.albedo.at[i].mul(1.25))
+    if "n" in keys:
+        upd(albedo=m.albedo.at[i].mul(0.8))
+    if "r" in keys:
+        upd(roughness=m.roughness.at[i].set(
+            jnp.clip(m.roughness[i] + 0.1, 0.0, 1.0)))
+    if "f" in keys:
+        upd(roughness=m.roughness.at[i].set(
+            jnp.clip(m.roughness[i] - 0.1, 0.0, 1.0)))
+    if "g" in keys:
+        upd(emissive=m.emissive.at[i].add(0.5))
+    if "h" in keys:
+        upd(emissive=m.emissive.at[i].set(
+            jnp.maximum(m.emissive[i] - 0.5, 0.0)))
+    if "i" in keys:
+        upd(ior=m.ior.at[i].add(0.05))
+    if "k" in keys:
+        upd(ior=m.ior.at[i].set(jnp.maximum(m.ior[i] - 0.05, 1.0)))
+    if edited:
+        scene = scene.replace(materials=m)
+
+    L = scene.lights
+    n_lights = L.count
+    if "l" in keys:
+        edit.light = (edit.light + 1) % max(n_lights, 1)
+    if "u" in keys or "j" in keys:
+        s = 1.25 if "u" in keys else 0.8
+        li = edit.light
+        if li < L.n_point:
+            L = L.replace(point_color=L.point_color.at[li].mul(s))
+        elif li < L.n_point + L.n_area:
+            L = L.replace(area_color=L.area_color.at[li - L.n_point].mul(s))
+        elif li < L.n_point + L.n_area + L.n_spot:
+            L = L.replace(spot_color=L.spot_color.at[
+                li - L.n_point - L.n_area].mul(s))
+        else:
+            L = L.replace(dir_color=jnp.asarray(L.dir_color) * s)
+        scene = scene.replace(lights=L)
+        edited = True
+    return scene, edited
+
+
 # ------------------------------------------------------------------ live loop
 
 def _make_live_step():
@@ -133,6 +226,7 @@ def run_live(scene, cfg, *, max_frames: int = 0, script=None,
 
     scene = jax.tree.map(jnp.asarray, scene)
     fly = FlyState.from_camera(scene.camera)
+    edit = EditState(material=edit_material)
     aspect = cfg.width / cfg.height
     live_step = _make_live_step()
     acc = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
@@ -170,18 +264,7 @@ def run_live(scene, cfg, *, max_frames: int = 0, script=None,
             if "esc" in keys or "x" in keys:
                 break
 
-            edited = False
-            if "m" in keys:  # live material edit (ImGui MaterialEdit
-                # analogue, renderer.cpp:2659): brighten the edit slot
-                m = scene.materials
-                alb = m.albedo.at[edit_material].mul(1.25)
-                scene = scene.replace(materials=m.replace(albedo=alb))
-                edited = True
-            if "n" in keys:  # dim it back
-                m = scene.materials
-                alb = m.albedo.at[edit_material].mul(0.8)
-                scene = scene.replace(materials=m.replace(albedo=alb))
-                edited = True
+            scene, edited = apply_edits(scene, keys, edit)
 
             moved = handle_input(fly, keys, dt_ms, slow="shift" in keys)
             if moved:
@@ -207,8 +290,10 @@ def run_live(scene, cfg, *, max_frames: int = 0, script=None,
                                f"{stats['mrays_s']:.2f}Mrays/s  "
                                f"spp={n_acc} "
                                f"pos=({fly.pos[0]:.1f},{fly.pos[1]:.1f},"
-                               f"{fly.pos[2]:.1f})  [wasd/qe/arrows, "
-                               f"m/n edit, x quit]")
+                               f"{fly.pos[2]:.1f})  {edit.status(scene)}  "
+                               f"[wasd/qe/arrows move, 0-9/[/] slot, "
+                               f"m/n r/f g/h i/k edit, l u/j lights, "
+                               f"x quit]")
             frame += 1
     finally:
         if reader is not None:
