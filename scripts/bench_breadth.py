@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPS = int(os.environ.get("BENCH_REPS", 3))
-OUT = os.environ.get("BENCH_BREADTH_OUT", "BENCH_BREADTH_r03.json")
+OUT = os.environ.get("BENCH_BREADTH_OUT", "BENCH_BREADTH_r04.json")
 
 
 def log(*a):

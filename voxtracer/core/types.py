@@ -164,6 +164,11 @@ class VoxVolumes:
     # Pallas traversal walks page-by-page and min-merges; None below the
     # paging threshold.  The parent's arrays stay complete either way.
     pages: tuple = None
+    # this page's first ORIGINAL volume index (static metadata, set by
+    # paginate_volumes): pages may be WALKED biggest-occluders-first so
+    # the running best t culls later pages, and the merge restores global
+    # volume ids + the original-index tie-break from this offset
+    vol_off: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n(self) -> int:

@@ -166,15 +166,24 @@ def _direct_soft(dens_flat, cell_tab, scene: SceneData, cfg, p, nrm, active,
     return acc
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "seg_steps"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "seg_steps", "rows"))
 def render_diff_replay(params: DiffParams, scene: SceneData, cfg, key,
                        n_steps: int = 48, seg_steps: int = 24,
-                       density_scale: float = 64.0):
-    """One-bounce path-replay render -> [H, W, 3] (module docstring)."""
+                       density_scale: float = 64.0, row0=None,
+                       rows: int = 0):
+    """One-bounce path-replay render -> [H, W, 3] (module docstring), or
+    [rows, W, 3] for a row band (row0 traced) — 1080p replay grads band
+    to stay inside the tunnel watchdog's per-dispatch budget."""
     from voxtracer.render.camera import primary_rays
     from voxtracer.render.integrator import _pixel_grid, find_nearest_world
 
-    px, py = _pixel_grid(cfg)
+    if rows:
+        x = jnp.arange(cfg.width, dtype=F32)
+        y = jnp.arange(rows, dtype=F32) + row0
+        gx, gy = jnp.meshgrid(x, y)
+        px, py = gx.reshape(-1), gy.reshape(-1)
+    else:
+        px, py = _pixel_grid(cfg)
     o, d = primary_rays(scene.camera, cfg.width, cfg.height, px, py, None,
                         jnp)
     n = o.shape[0]
@@ -263,7 +272,7 @@ def render_diff_replay(params: DiffParams, scene: SceneData, cfg, key,
     lsurf = jnp.where(is_glass0[:, None], glass_rad, direct0 + bounce_rad)
     img = jnp.where(hit0[:, None],
                     w0[:, None] * lsurf + (1.0 - w0)[:, None] * bg, bg)
-    return img.reshape(cfg.height, cfg.width, 3)
+    return img.reshape(rows or cfg.height, cfg.width, 3)
 
 
 def _glass_chain(params, dens_flat, cell_tab, scene: SceneData, cfg,
@@ -344,7 +353,7 @@ def _glass_chain(params, dens_flat, cell_tab, scene: SceneData, cfg,
 
 def mse_loss_replay(params: DiffParams, scene: SceneData, cfg, target, key,
                     n_steps: int = 48, seg_steps: int = 24,
-                    density_scale: float = 64.0):
+                    density_scale: float = 64.0, row0=None, rows: int = 0):
     img = render_diff_replay(params, scene, cfg, key, n_steps, seg_steps,
-                             density_scale)
+                             density_scale, row0=row0, rows=rows)
     return jnp.mean((img - target) ** 2)

@@ -162,20 +162,28 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
 
         @pl.when(any_act)
         def _live_block():
+            # ON-DEMAND candidate selection (recompute all V entries
+            # lexicographically-after (prev_t, prev_id) under a
+            # lax.cond-gated switch, instead of carrying 2xV sorted
+            # entry/id arrays): bit-identical to the stable sort
+            # (ascending (entry t, original id)) — but MEASURED SLOWER on
+            # this chip (city V=17: 258 -> 341 ms; city-XL 1165 -> 1633):
+            # the scf.if inside the while body defeats Mosaic's loop
+            # scheduling more than the carried arrays cost.  Kept (and
+            # interpret-parity-tested) for candidate sets too large to
+            # carry; the practical page cap is 24.
+            ondemand = incand and v > 24 and "cand" not in ablate
             if incand and "cand" in ablate:  # perf-ablation: fixed order, t0=0
                 vid_all = [jnp.full(shape, vi, I32) for vi in range(v)]
                 t0s_all = [jnp.zeros(shape, F32) for _ in range(v)]
-            elif incand:
-                # Per-lane candidate generation + ordering IN KERNEL: the XLA
-                # preamble this replaces (lax.sort over [V, N] entry keys +
-                # the [V,nblk,b,128] transposes) measured 30 ms of the 40 ms
+            else:
+                # Per-lane candidate entry t, IN KERNEL: the XLA preamble
+                # this replaces (lax.sort over [V, N] entry keys + the
+                # [V,nblk,b,128] transposes) measured 30 ms of the 40 ms
                 # full-frame nearest pass at 1080p — 3x the kernel itself.
-                # Entry t per volume = Cube::Intersect (scene.cpp:166-202) on
-                # scalars splat from the VMEM vtab; order via a bubble
-                # compare-exchange network (oblivious, ADJACENT swaps only ->
-                # stable, preserving the earliest-original-volume tie-break).
-                ts_l, id_l = [], []
-                for vi in range(v):
+                # Entry t per volume = Cube::Intersect (scene.cpp:166-202)
+                # on scalars splat from the VMEM vtab.
+                def entry_t_vi(vi):
                     cvr = [vtab_ref[c, vi] for c in range(12)]
                     bxv = vtab_ref[21, vi]
                     byv = vtab_ref[22, vi]
@@ -209,9 +217,16 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                     t0v = jnp.where(inside, 0.0,
                                     jnp.where(miss | (e0 <= 0.0), BIG, e0))
                     t0v = jnp.where(t0v == t0v, t0v, BIG)  # NaN (axis d=0)
-                    t0v = jnp.where(env > 0.0, t0v, BIG)
-                    ts_l.append(t0v)
-                    id_l.append(jnp.full(shape, vi, I32))
+                    return jnp.where(env > 0.0, t0v, BIG)
+
+            if incand and "cand" in ablate:
+                pass
+            elif incand and not ondemand:
+                # small V: materialize + order via a bubble compare-exchange
+                # network (oblivious, ADJACENT swaps only -> stable,
+                # preserving the earliest-original-volume tie-break)
+                ts_l = [entry_t_vi(vi) for vi in range(v)]
+                id_l = [jnp.full(shape, vi, I32) for vi in range(v)]
                 for i in range(v):
                     for j in range(v - 1 - i):
                         a, bb = ts_l[j], ts_l[j + 1]
@@ -223,7 +238,7 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                         id_l[j + 1] = jnp.where(sw, ai, bi)
                 vid_all = id_l
                 t0s_all = ts_l
-            else:
+            elif not incand:
                 vid_all = vid_ref[0]     # [v, b, 128]
                 t0s_all = t0s_ref[0]
             # tables are read from the VMEM refs AT USE TIME — preloading
@@ -257,7 +272,7 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
             # "scf.yield ... #tpu.vpad<none>" compile failure).
             state = dict(
                 # candidate bookkeeping
-                k=zi, done=(~ray_act).astype(I32), walking=zi, level=zi,
+                done=(~ray_act).astype(I32), walking=zi, level=zi,
                 best_hit=zi, best_t=jnp.full(shape, BIG, F32),
                 best_vol=jnp.full(shape, -2, I32), best_gidx=zi,
                 # current walk: volume id + t bound.  Everything ELSE about the
@@ -273,6 +288,11 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                 mpx=zi, mpy=zi, mpz=zi, mtmx=zf, mtmy=zf, mtmz=zf,
                 outer=jnp.int32(0),
             )
+            if ondemand:
+                state.update(prev_t=jnp.full(shape, -BIG, F32),
+                             prev_id=jnp.full(shape, -1, I32))
+            else:
+                state.update(k=zi)
             if has_pal:
                 state.update(best_slot=zi, best_bidx=zi)
             if count_iters:
@@ -290,14 +310,41 @@ def _make_kernel(mode: str, v: int, b: int, side: int, mside: int,
                                              | ~st["done"]).astype(I32)
                 # ---- 1. candidate switch for idle lanes --------------------
                 need = ~st["done"] & ~st["walking"]
-                k = st["k"]
-                vid_k = chain_row(k, vid_all)
-                t0_k = chain_row(k, t0s_all)
+                if ondemand:
+                    def _select(_):
+                        bt = jnp.full(shape, BIG, F32)
+                        bi = jnp.full(shape, v, I32)
+                        for vi in range(v):
+                            t0v = entry_t_vi(vi)
+                            gt_prev = ((t0v > st["prev_t"])
+                                       | ((t0v == st["prev_t"])
+                                          & (vi > st["prev_id"])))
+                            better = gt_prev & (t0v < bt)
+                            bt = jnp.where(better, t0v, bt)
+                            bi = jnp.where(better, vi, bi)
+                        return bt, bi
+
+                    def _skip(_):
+                        return (jnp.full(shape, BIG, F32),
+                                jnp.full(shape, v, I32))
+
+                    t0_k, vid_k = jax.lax.cond(jnp.any(need), _select,
+                                               _skip, 0)
+                else:
+                    k = st["k"]
+                    vid_k = chain_row(k, vid_all)
+                    t0_k = chain_row(k, t0s_all)
                 bound = jnp.minimum(tl, _next_after(st["best_t"]))
-                ok = (need & (k < v) & (t0_k < 1e33)
+                ok = (need & (t0_k < 1e33)
                       & (t0_k <= jnp.minimum(tl, st["best_t"])))
+                if not ondemand:
+                    ok = ok & (k < v)
                 st["done"] = st["done"] | (need & ~ok)
-                st["k"] = jnp.where(ok, k + 1, k)
+                if ondemand:
+                    st["prev_t"] = jnp.where(ok, t0_k, st["prev_t"])
+                    st["prev_id"] = jnp.where(ok, vid_k, st["prev_id"])
+                else:
+                    st["k"] = jnp.where(ok, k + 1, k)
                 vol = jnp.where(ok, vid_k, st["vol"])
                 st["vol"] = vol
 

@@ -244,24 +244,42 @@ def _paged_traverse(scene: SceneData, o3, d3, t_limit, active, vol_enabled,
     """Run traverse_pallas one volume-page at a time and min-merge.
 
     Pages preserve volume order, so merging with a strict `t <` keeps the
-    reference's earliest-volume tie-break (renderer.cpp:946-1018).  Later
-    pages receive the running best t as their t_limit, so their ray
-    blocks early-exit past volumes that can no longer win."""
+    reference's earliest-volume tie-break (renderer.cpp:946-1018).
+
+    PER-RAY PAGE CULLING (VERDICT r3 item 5): a page can only improve a
+    ray's result if the ray enters SOME AABB of that page before the
+    running best t (hit t >= cube entry t, so min-entry >= best  =>  no
+    strictly-better hit exists in the page).  The per-page min entry is a
+    cheap XLA slab pass; rays culled for a page arrive inactive, and with
+    tile ray order whole 1024-lane blocks of them skip the page via the
+    kernel's SMEM dead-block gate — instead of every ray paying every
+    page walk (the round-3 4.2x paging cliff: city 17 vols 6.0 Mrays/s
+    vs city-XL 111 vols 1.4)."""
+    from voxtracer.kernels.dda_occ import _entry_t
     from voxtracer.kernels.pallas_dda import traverse_pallas
 
     pages = scene.volumes.pages
-    best = None
-    off = 0
+    # per-page earliest AABB entry per ray (BIG where the page is missed)
+    pmins = []
     for pv in pages:
+        off = pv.vol_off
+        ent = _entry_t(pv.inv, pv.cube_min, o3, d3)  # [pn, N]
+        ent = jnp.where(vol_enabled[off:off + pv.n, None], ent, BIG)
+        ent = jnp.where(jnp.isnan(ent), BIG, ent)
+        pmins.append(jnp.min(ent, axis=0))
+    best = None
+    for pv, pmin in zip(pages, pmins):
         pn = pv.n
+        off = pv.vol_off  # pages walk biggest-occluder-first; ids stay
         psc = scene.replace(volumes=pv)
         lim = (t_limit if (best is None or mode == "occluded")
                else jnp.minimum(t_limit, best["t"]))
         if mode == "occluded" and best is not None:
             # already-occluded rays can't change; let their blocks exit
             active = active & ~best["hit"]
+        act_p = active & (pmin < lim)
         res = traverse_pallas(
-            *_vol_args(psc), o3, d3, lim, active, vol_enabled[off:off + pn],
+            *_vol_args(psc), o3, d3, lim, act_p, vol_enabled[off:off + pn],
             **_pallas_occ_args(psc), mode=mode,
             cand_mask=None if cand is None else cand[off:off + pn], **kw)
         if mode != "occluded":
@@ -271,11 +289,15 @@ def _paged_traverse(scene: SceneData, o3, d3, t_limit, active, vol_enabled,
         elif mode == "occluded":
             best["hit"] = best["hit"] | res["hit"]
         else:
-            adopt = res["hit"] & (res["t"] < best["t"])
+            # strict (t, ORIGINAL volume id) adoption: walk order is a
+            # perf choice, the earliest-volume tie-break survives it
+            # (renderer.cpp:946-1018)
+            adopt = res["hit"] & (~best["hit"] | (res["t"] < best["t"])
+                                  | ((res["t"] == best["t"])
+                                     & (res["vol"] < best["vol"])))
             best = {k: jnp.where(adopt, res[k], best[k]) for k in best}
             best["hit"] = best["hit"] | res["hit"]
             best["hit"] = best["hit"] & active
-        off += pn
     return best
 
 
@@ -395,9 +417,9 @@ def material_exit_world(scene: SceneData, o, d, vol_idx, mode_code, mask):
         from voxtracer.kernels.pallas_dda import exit_pallas
 
         res = None
-        off = 0
         for pv in scene.volumes.pages:
             pn = pv.n
+            off = pv.vol_off
             psc = scene.replace(volumes=pv)
             in_page = (vol_idx >= off) & (vol_idx < off + pn)
             local = jnp.clip(vol_idx - off, 0, pn - 1)
@@ -407,7 +429,6 @@ def material_exit_world(scene: SceneData, o, d, vol_idx, mode_code, mask):
                 res = r
             else:
                 res = {k: jnp.where(in_page, r[k], res[k]) for k in res}
-            off += pn
     elif _use_pallas(scene) and scene.volumes.n <= 48:
         from voxtracer.kernels.pallas_dda import exit_pallas
 

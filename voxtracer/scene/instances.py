@@ -223,6 +223,7 @@ def paginate_volumes(vols: VoxVolumes, page: int = 24) -> VoxVolumes:
     if v <= page:
         return vols
     pages = []
+    sizes = []
     for lo in range(0, v, page):
         hi = min(lo + page, v)
         sub = VoxVolumes(
@@ -234,9 +235,19 @@ def paginate_volumes(vols: VoxVolumes, page: int = 24) -> VoxVolumes:
             bricks=np.asarray(vols.bricks)[lo:hi],
             bricksize=np.asarray(vols.bricksize)[lo:hi],
             occ=np.asarray(vols.occ)[:, lo:hi],
+            vol_off=lo,
         )
         pages.append(compact_tables(sub))
-    return vols.replace(pages=tuple(pages))
+        # world AABB volume sum: |det(linear fwd)| x unit cube, per volume
+        fw = np.asarray(vols.fwd)[lo:hi, :3, :3]
+        sizes.append(float(np.abs(np.linalg.det(fw)).sum()))
+    # WALK order: biggest total world volume first (e.g. the city floor) —
+    # its hits tighten the running best t for nearly every ray, so the
+    # per-ray page culling in integrator._paged_traverse can skip the
+    # later pages wholesale.  Volume IDS keep scene order via vol_off; the
+    # merge's (t, original-id) tie-break makes walk order result-invariant.
+    order = np.argsort(-np.asarray(sizes), kind="stable")
+    return vols.replace(pages=tuple(pages[i] for i in order))
 
 
 def make_spheres(items=()) -> Spheres:

@@ -37,8 +37,10 @@ class FrameReport:
         self.alpha = 1.0
         self.rays_per_frame = width * height
         self.stream = stream
+        self.times = []  # raw per-frame seconds (entry 0 includes compile)
 
     def frame(self, seconds: float) -> dict:
+        self.times.append(seconds)
         ms = seconds * 1000.0
         self.avg_ms = (1 - self.alpha) * self.avg_ms + self.alpha * ms
         if self.alpha > 0.05:
