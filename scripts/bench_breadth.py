@@ -52,38 +52,40 @@ def main():
     names = sys.argv[1:] or list(CONFIGS)
     results = []
     for name in names:
-        scene, cfg = CONFIGS[name](presets)
-        scene = jax.tree.map(jnp.asarray, scene)
-        key = jax.random.PRNGKey(0)
-        n_rays = cfg.width * cfg.height
+      try:
+          scene, cfg = CONFIGS[name](presets)
+          scene = jax.tree.map(jnp.asarray, scene)
+          key = jax.random.PRNGKey(0)
+          n_rays = cfg.width * cfg.height
 
-        def once(k):
-            return np.asarray(jnp.mean(_render_banded(scene, cfg, k, 1, 1)))
+          def once(k):
+              return np.asarray(jnp.mean(_render_banded(scene, cfg, k, 1, 1)))
 
-        t0 = time.time()
-        log(f"{name}: image mean {float(once(key)):.4f} "
-            f"(compile+warm {time.time() - t0:.0f}s)")
-        ts = []
-        for i in range(REPS):
-            t0 = time.time()
-            once(jax.random.fold_in(key, i))
-            ts.append(time.time() - t0)
-        sec = float(np.median(ts))
-        rec = {
-            "config": name,
-            "mode": cfg.mode,
-            "resolution": f"{cfg.width}x{cfg.height}",
-            "volumes": int(scene.volumes.n),
-            "paged": scene.volumes.pages is not None,
-            "frame_ms": round(sec * 1e3, 1),
-            "mrays_s": round(n_rays / sec / 1e6, 3),
-        }
-        log(json.dumps(rec))
-        results.append(rec)
+          t0 = time.time()
+          log(f"{name}: image mean {float(once(key)):.4f} "
+              f"(compile+warm {time.time() - t0:.0f}s)")
+          ts = []
+          for i in range(REPS):
+              t0 = time.time()
+              once(jax.random.fold_in(key, i))
+              ts.append(time.time() - t0)
+          sec = float(np.median(ts))
+          rec = {
+              "config": name,
+              "mode": cfg.mode,
+              "resolution": f"{cfg.width}x{cfg.height}",
+              "volumes": int(scene.volumes.n),
+              "paged": scene.volumes.pages is not None,
+              "frame_ms": round(sec * 1e3, 1),
+              "mrays_s": round(n_rays / sec / 1e6, 3),
+          }
+          log(json.dumps(rec))
+          results.append(rec)
+          with open(OUT, "a") as f:  # append as we go — tunnel faults on a
+              f.write(json.dumps(rec) + "\n")  # later config keep earlier rows
+      except Exception as e:
+        log(f"{name}: FAILED {type(e).__name__}: {e}")
 
-    with open(OUT, "a") as f:
-        for r in results:
-            f.write(json.dumps(r) + "\n")
     print(json.dumps(results))
 
 

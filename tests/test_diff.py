@@ -259,3 +259,38 @@ def test_inverse_demo_micro(teapot_small):
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+@pytest.mark.slow
+def test_bench_binned_settings_psnr_guard():
+    """Image-level quality guard for the BINNED bench march (span-length
+    bins 3/12 steps at edge 4 cells, span=1 — bench.py round 4): the
+    combined per-bin image must hold the same PSNR bar as the uniform
+    12-step march, so the adaptive step counts can't silently trade
+    quality for the headline number."""
+    from voxtracer.diff.volumetric import span_cells_bins
+
+    scene, cfg = presets.monu_path(width=96, height=54, gridsize=64,
+                                   which=(1,), bounces=4)
+    params = params_from_scene(scene, occupied_logit=12.0, empty_logit=-12.0)
+    key = jax.random.PRNGKey(2)
+    ref = np.asarray(render_diff(params, scene, cfg, key, n_steps=48,
+                                 density_scale=4096.0, span_steps=4))
+    bins = span_cells_bins(scene, cfg, rows=cfg.height, edges=(4.0,))
+    combined = None
+    n = cfg.width * cfg.height
+    for (p, ip, na), steps in zip(bins, (3, 12)):
+        img_b = np.asarray(render_diff(
+            params, scene, cfg, key, n_steps=steps, density_scale=4096.0,
+            span_steps=1, perm=jnp.asarray(p), inv_perm=jnp.asarray(ip),
+            n_active=na, row0=jnp.float32(0), rows=cfg.height))
+        if combined is None:
+            combined = img_b.copy()
+        nap = min(-(-na // 1024) * 1024, n)
+        mask = np.zeros(n, bool)
+        mask[p[:nap]] = True
+        combined.reshape(-1, 3)[mask] = img_b.reshape(-1, 3)[mask]
+    mse = float(np.mean((combined - ref) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 23.0, f"binned bench-settings PSNR {psnr:.1f} dB < 23"
+    assert float(np.median(np.abs(combined - ref))) == 0.0
