@@ -58,9 +58,25 @@ def tpu_part():
     from voxtracer.render.integrator import _render_banded
     from voxtracer.scene.presets import monu_path
 
+    points = ((960, 540, 1), (1920, 1080, 1), (1920, 1080, 2),
+              (1920, 1080, 4))
+    # optional point subset (argv[2:], e.g. `tpu 1 2`): the degraded
+    # tunnel sometimes faults a process's SECOND large program
+    # (PERF_NOTES round-4 addendum) — points re-run one per process and
+    # merge into the same artifact
+    sel = [int(a) for a in sys.argv[2:]] or range(len(points))
     curve = []
-    for (w, h, spp) in ((960, 540, 1), (1920, 1080, 1), (1920, 1080, 2),
-                        (1920, 1080, 4)):
+    prev = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f).get("real_chip_work_scaling", {})
+    done = {(c["width"], c["height"], c["spp"]): c
+            for c in prev.get("curve", [])}
+    for idx in sel:
+        (w, h, spp) = points[idx]
+        if (w, h, spp) in done:
+            curve.append(done[(w, h, spp)])
+            continue
         scene, cfg = monu_path(width=w, height=h, gridsize=64,
                                which=(1, 2, 3), bounces=4)
         scene = jax.tree.map(jnp.asarray, scene)
@@ -81,6 +97,17 @@ def tpu_part():
         curve.append(dict(width=w, height=h, spp=spp, seconds=round(dt, 4),
                           rays_s=round(rays, 1)))
         print(json.dumps(curve[-1]), file=sys.stderr, flush=True)
+        # persist per point: the degraded tunnel can fault the next program
+        snap = {(c["width"], c["height"], c["spp"]): c
+                for c in (prev.get("curve", []) + curve)}
+        merge("real_chip_work_scaling",
+              dict(note="one TPU v5e via tunnel (partial)",
+                   curve=sorted(snap.values(),
+                                key=lambda c: (c["width"] * c["height"]
+                                               * c["spp"]))))
+    curve = sorted({(c["width"], c["height"], c["spp"]): c
+                    for c in (prev.get("curve", []) + curve)}.values(),
+                   key=lambda c: (c["width"] * c["height"] * c["spp"]))
     peak = max(c["rays_s"] for c in curve)
     for c in curve:
         c["fraction_of_peak"] = round(c["rays_s"] / peak, 3)
