@@ -1049,7 +1049,7 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                     ray_active, vol_enabled, occ, bricksize,
                     mode="nearest", max_outer=4096, inner=INNER,
                     block_rows=8, interpret=None, cand_mask=None,
-                    macro_pre=1, occ_slot=None, occ_rows0=None,
+                    macro_pre=2, occ_slot=None, occ_rows0=None,
                     count_iters=False, pal=None, pal_rows0=None,
                     ablate=()):
     """Pallas traversal, drop-in for dda_occ.traverse_occ_topk
