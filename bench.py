@@ -127,11 +127,11 @@ def main():
         bins = span_cells_bins(scene, cfg, row0=r0, rows=rows,
                                edges=bin_edges)
         log(f"band {b}: active bins "
-            + " ".join(f"{na}@{s}st" for (_, _, na), s
-                       in zip(bins, bin_steps)))
+            + " ".join(f"{na}@{bin_steps[bi]}st"
+                       for (bi, _, _, na) in bins))
         tgt_flat = target_band.reshape(-1, 3)
-        for (p, ip, na), steps, i in zip(bins, bin_steps,
-                                         range(len(bins))):
+        for bi, p, ip, na in bins:  # steps/clamp keyed off the BIN INDEX
+            steps = bin_steps[bi]
             nap = min(-(-na // 1024) * 1024, o.shape[0])
             sel = jnp.asarray(p[:nap])
             oc = jnp.take(o, sel, axis=0)
@@ -140,19 +140,20 @@ def main():
                             cfg.sky_fallback)
             t_act = jnp.take(tgt_flat, sel, axis=0)
             # bin 0 = sub-4-cell spans: skip the transmittance-clamp
-            # nearest pass (render_diff_active clamp=False)
-            bin_data.append((oc, dc, bg, t_act, steps, i > 0))
+            # nearest pass (render_diff_active clamp=False).  na masks
+            # the padded tail (foreign rays march in their own bin).
+            bin_data.append((oc, dc, bg, t_act, steps, bi > 0, na))
 
     @jax.jit
     def full_grad(k):
         # ONE dispatch for all bands+bins + the accumulation (each ~25 ms
         # tunnel round trip otherwise); caller's pull forces completion
         total = None
-        for oc, dc, bg, t_act, steps, clamp in bin_data:
+        for oc, dc, bg, t_act, steps, clamp, na in bin_data:
             g = jax.grad(mse_loss_active)(params, scene, cfg, oc, dc, bg,
                                           t_act, denom, steps, k=diff_k,
                                           span_steps=span_steps,
-                                          clamp=clamp)
+                                          clamp=clamp, n_active=na)
             total = g if total is None else jax.tree.map(jnp.add, total, g)
         return total
 

@@ -282,7 +282,8 @@ def test_bench_binned_settings_psnr_guard():
     bins = span_cells_bins(scene, cfg, rows=cfg.height, edges=(4.0,))
     combined = None
     n = cfg.width * cfg.height
-    for (p, ip, na), steps in zip(bins, (2, 10)):
+    for bi, p, ip, na in bins:
+        steps = (2, 10)[bi]
         img_b = np.asarray(render_diff(
             params, scene, cfg, key, n_steps=steps, density_scale=4096.0,
             span_steps=1, perm=jnp.asarray(p), inv_perm=jnp.asarray(ip),
@@ -308,7 +309,8 @@ def test_bench_binned_settings_psnr_guard():
 
     def binned_grad(steps_pair, span):
         tot = None
-        for (p, ip, na), steps in zip(bins, steps_pair):
+        for bi, p, ip, na in bins:
+            steps = steps_pair[bi]
             g = jax.grad(mse_loss)(params_t, scene, cfg, tgt,
                                    jax.random.PRNGKey(2), steps,
                                    row0=jnp.float32(0), rows=cfg.height,

@@ -37,23 +37,36 @@ def _pcg(x):
 
 def key_seed(key) -> jnp.ndarray:
     """Collapse a jax PRNG key to one uint32 seed scalar (cheap; the key
-    machinery still provides the fold_in tree structure above us)."""
+    machinery still provides the fold_in tree structure above us).
+    Words mix through _pcg rounds, not linear combination, so nearby
+    keys select unrelated hash functions (ADVICE r4)."""
     kd = jax.random.key_data(key).astype(U32).reshape(-1)
-    s = kd[0]
+    s = _pcg(kd[0])
     for i in range(1, kd.shape[0]):
-        s = s ^ (kd[i] * _PRIME1)
+        s = _pcg(s ^ kd[i])
     return s
 
 
 def hash_bits(key, salt: int, shape) -> jnp.ndarray:
-    """uint32 hash stream: two PCG rounds over (seed, salt, counter)."""
+    """uint32 hash stream: two PCG rounds over (seed, salt, counter).
+
+    The (seed, salt) pair enters through its OWN scalar _pcg round, so
+    distinct streams are independent hash functions rather than constant
+    counter offsets of one global sequence (additively-mixed salts put
+    every stream on one PCG orbit: two streams whose offsets landed
+    within the lane count of each other repeated sample values
+    lane-for-lane — ADVICE r4).  The extra round is scalar work, not
+    per-element."""
     seed = key_seed(key)
     n = 1
     for s in shape:
         n *= s
     idx = jax.lax.iota(U32, n)
-    x = idx + seed * _PRIME1 + jnp.uint32(salt) * _GOLDEN
-    return _pcg(_pcg(x)).reshape(shape)
+    base = _pcg(seed ^ (jnp.uint32(salt) * _GOLDEN))
+    # both rounds are keyed: pcg(pcg(idx ^ b) ^ b*P) is a two-input hash,
+    # not one global sequence sampled at different lanes
+    x = _pcg(idx ^ base)
+    return _pcg(x ^ (base * _PRIME1)).reshape(shape)
 
 
 def hash_uniform(key, salt: int, shape) -> jnp.ndarray:

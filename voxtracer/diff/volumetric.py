@@ -350,13 +350,15 @@ def span_cells_bins(scene: SceneData, cfg, row0: int = 0, rows: int = 0,
     length in cells — NumPy slab tests, camera-derived, loop-invariant)
     lets each bin march with a step count proportional to its spans.
 
-    Returns a list of (perm, inv_perm, n_active) triples — one per bin,
-    shortest spans first; each perm puts that bin's rays in the prefix (in
-    8x128-tile order, see active_ray_permutation) so the existing
-    compaction path applies unchanged.  Gradients of the per-bin renders
-    SUM to the full-band gradient: excluded-active rays render as
-    background in the other bins' calls and contribute zero parameter
-    gradient there."""
+    Returns a list of (bin_index, perm, inv_perm, n_active) tuples — one
+    per NON-EMPTY bin, shortest spans first; each perm puts that bin's
+    rays in the prefix (in 8x128-tile order, see active_ray_permutation)
+    so the existing compaction path applies unchanged.  Callers MUST key
+    step counts / clamp off bin_index, not list position: empty bins are
+    skipped, so position alone would mis-assign settings (ADVICE r4).
+    Gradients of the per-bin renders SUM to the full-band gradient:
+    excluded-active rays render as background in the other bins' calls
+    and contribute zero parameter gradient there."""
     import numpy as np
 
     from voxtracer.render.camera import primary_rays
@@ -422,7 +424,7 @@ def span_cells_bins(scene: SceneData, cfg, row0: int = 0, rows: int = 0,
         perm = np.lexsort((tile_key, ~sel)).astype(np.int32)
         inv_perm = np.empty_like(perm)
         inv_perm[perm] = np.arange(n, dtype=np.int32)
-        out.append((perm, inv_perm, cnt))
+        out.append((b, perm, inv_perm, cnt))
     return out
 
 
@@ -860,17 +862,26 @@ def _march_color(params: DiffParams, scene: SceneData, cfg, o, d,
 
 def mse_loss_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
                     target_active, denom: float, n_steps: int,
-                    k: int = 0, span_steps: int = 0, clamp: bool = True):
+                    k: int = 0, span_steps: int = 0, clamp: bool = True,
+                    n_active: int = 0):
     """Sum of squared errors over the active rays / denom.
 
     With denom = full-band pixel-element count this has EXACTLY the
     gradient of the full-band image MSE: the excluded (inactive /
     other-bin) pixels render parameter-free background, so their loss
     terms are constants.  target_active = target rows gathered by the
-    bin's perm prefix — loop-invariant, precomputed by the caller."""
+    bin's perm prefix — loop-invariant, precomputed by the caller.
+
+    n_active > 0 zero-masks rows >= n_active: callers pad the compacted
+    prefix to a 1024 multiple, and the pad rows can be FOREIGN rays
+    active in another bin — without the mask their gradient would be
+    double-counted across bins (ADVICE r4)."""
     img = render_diff_active(params, scene, cfg, o, d, bg, n_steps,
                              k=k, span_steps=span_steps, clamp=clamp)
-    return jnp.sum((img - target_active) ** 2) / denom
+    err = jnp.sum((img - target_active) ** 2, axis=-1)
+    if n_active and n_active < o.shape[0]:
+        err = jnp.where(jnp.arange(o.shape[0]) < n_active, err, 0.0)
+    return jnp.sum(err) / denom
 
 
 def mse_loss(params: DiffParams, scene: SceneData, cfg, target, key,

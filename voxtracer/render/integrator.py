@@ -272,8 +272,14 @@ def _paged_traverse(scene: SceneData, o3, d3, t_limit, active, vol_enabled,
         pn = pv.n
         off = pv.vol_off  # pages walk biggest-occluder-first; ids stay
         psc = scene.replace(volumes=pv)
+        # later pages get lim = nextafter(best.t): the kernel accepts with
+        # strict t < lim and the pmin cull below is strict too, so a
+        # lower-original-id volume tying EXACTLY (coincident grid-aligned
+        # surfaces) must still reach the (t, original id) merge tie-break
+        # (ADVICE r4: with lim = best.t the adoption below could never fire)
         lim = (t_limit if (best is None or mode == "occluded")
-               else jnp.minimum(t_limit, best["t"]))
+               else jnp.minimum(t_limit,
+                                jnp.nextafter(best["t"], jnp.inf)))
         if mode == "occluded" and best is not None:
             # already-occluded rays can't change; let their blocks exit
             active = active & ~best["hit"]
@@ -494,7 +500,12 @@ def _light_contribution(scene: SceneData, cfg: RenderConfig, p, nrm, alb,
         dirn = tuple(jnp.broadcast_to(-L.dir_direction[i], (nrays,))
                      for i in range(3))
         cos_t = cdot(dirn, nrm)
-        gate = cos_t > 0.0
+        # a black directional light (the reference default) contributes
+        # zero whatever the occlusion says — gating it off is bitwise
+        # identical (intensity == 0) and saves one full shadow traversal
+        # per whitted iteration (the fused stochastic path already gates)
+        dir_on = jnp.any(L.dir_color != 0.0)
+        gate = (cos_t > 0.0) & dir_on
         intensity = cscale(cos_t, tuple(L.dir_color[i] for i in range(3)))
         shadow_t = jnp.full(nrays, BIG, F32)
     else:
@@ -1077,7 +1088,7 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
 
 
 def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
-                       depth: int):
+                       depth: int, return_iters: bool = False):
     """Iterative Whitted with an explicit per-ray branch stack.
 
     The recursive trace_whitted compiles a 3^depth tree of traversal
@@ -1254,8 +1265,10 @@ def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
         return jnp.any(sp > 0) & (it < 2 ** (depth + 1) + 4)
 
     zero3 = (jnp.zeros(n, F32),) * 3
-    _, _, color, _ = jax.lax.while_loop(
+    _, _, color, iters = jax.lax.while_loop(
         cond, body, (stack, sp, zero3, jnp.int32(0)))
+    if return_iters:
+        return cstack(color), iters
     return cstack(color)
 
 
