@@ -144,10 +144,7 @@ def main():
             # the padded tail (foreign rays march in their own bin).
             bin_data.append((oc, dc, bg, t_act, steps, bi > 0, na))
 
-    @jax.jit
-    def full_grad(k):
-        # ONE dispatch for all bands+bins + the accumulation (each ~25 ms
-        # tunnel round trip otherwise); caller's pull forces completion
+    def _grads(k):
         total = None
         for oc, dc, bg, t_act, steps, clamp, na in bin_data:
             g = jax.grad(mse_loss_active)(params, scene, cfg, oc, dc, bg,
@@ -157,16 +154,28 @@ def main():
             total = g if total is None else jax.tree.map(jnp.add, total, g)
         return total
 
-    g = full_grad(key)  # compile + warm
+    @jax.jit
+    def train_step(k):
+        # the production step shape: ONE dispatch renders the frame AND
+        # computes the full parameter gradient — fusing drops one ~25 ms
+        # tunnel round trip vs dispatching fwd and bwd separately (each
+        # band/bin grad already fused since round 2)
+        img_mean = jnp.mean(_render_banded(scene, cfg, k, 1, tiles))
+        return img_mean, _grads(k)
+
+    m, g = train_step(key)  # compile + warm
+    np.asarray(m)
     ts = []
     for i in range(REPS):
         t0 = time.time()
-        g = full_grad(jax.random.fold_in(key, i))
+        m, g = train_step(jax.random.fold_in(key, i))
+        np.asarray(m)
         np.asarray(g.albedo_table[:1, :1])
         ts.append(time.time() - t0)
-    bwd_s = float(np.median(ts))
-    fb_rays = n_rays / (fwd_s + bwd_s)
-    log(f"bwd: {bwd_s * 1e3:.0f} ms; fwd+bwd: {(fwd_s + bwd_s) * 1e3:.0f} ms"
+    both_s = float(np.median(ts))
+    fb_rays = n_rays / both_s
+    log(f"bwd (est = fused - fwd): {(both_s - fwd_s) * 1e3:.0f} ms; "
+        f"fused fwd+bwd: {both_s * 1e3:.0f} ms"
         f" -> {fb_rays / 1e6:.3f} Mrays/s")
 
     print(json.dumps({

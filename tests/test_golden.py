@@ -151,7 +151,9 @@ def test_whitted_iterative_matches_recursive():
     from voxtracer.render.camera import primary_rays
 
     scene, cfg = presets.glass_sphere_box(24, 24)
-    cfg = dataclasses.replace(cfg, max_bounces=3)
+    # cull_eps=0: the recursive tree carries no path weight to cull by, so
+    # exact-parity comparison needs the full branch tree on both sides
+    cfg = dataclasses.replace(cfg, max_bounces=3, whitted_cull_eps=0.0)
     scene = jax.tree.map(jnp.asarray, scene)
     px, py = _pixel_grid(cfg)
     o, d = primary_rays(scene.camera, cfg.width, cfg.height, px, py, None,

@@ -34,6 +34,14 @@ class RenderConfig:
     # no dielectrics should disable it (the branches would be dead code the
     # compiler still pays for).
     whitted_glass_split: bool = True
+    # branch-stack whitted: drop pending branches whose throughput weight
+    # is below this (the Fresnel split otherwise pushes the FULL binary
+    # tree — room.vox's glass floor at depth 5 ran 63 lockstep iterations,
+    # most of them for branches contributing < 1e-3 of a pixel).  A culled
+    # branch changes its pixel by at most eps * its radiance, below the
+    # golden tolerance; set 0 for exact tree parity (the
+    # iterative-vs-recursive test does).
+    whitted_cull_eps: float = 1e-3
     # path mode wavefront compaction: between bounces, partition surviving
     # rays to a prefix (stable cumsum partition) and trace fixed-width
     # chunks of n // compact_chunks in a nested while_loop — terminated

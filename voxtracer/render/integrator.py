@@ -466,24 +466,61 @@ def _sky_c(scene, cfg, d):
                             cfg.sky_fallback))
 
 
-def _light_contribution(scene: SceneData, cfg: RenderConfig, p, nrm, alb,
-                        kind: str, idx, active, key):
-    """Evaluate one light (per-type formulas) for all rays; one shadow pass.
-    p, nrm, alb are component tuples.  Returns a component tuple."""
+def _det_illumination(scene: SceneData, cfg: RenderConfig, p, nrm, alb,
+                      active, key):
+    """Deterministic all-lights NEE sum (renderer.cpp:102-207, 738-764)
+    with ONE batched shadow traversal.
+
+    The per-light loop (_light_contribution x L calls) paid a full
+    occlusion pass per light per whitted iteration — room's 2 point
+    lights + the black dir light were 3 of its 4 traversals.  All shadow
+    segments share the same offset origin, so they concatenate into one
+    [L*N]-lane occluded call (bit-identical per lane: the kernel result
+    does not depend on block composition) and the per-light contributions
+    apply in the original summation order afterwards."""
     L = scene.lights
     nrays = p[0].shape[0]
-    if kind == "point":
-        lpos = cpack(jnp.take(L.point_pos, idx, axis=0))
-        lcol = cpack(jnp.take(L.point_color, idx, axis=0))
+    zero = (jnp.zeros(nrays, F32),) * 3
+    origin = coffset(p, nrm)
+    segs = []  # (dirn, shadow_t, need, per-sample contribution)
+    plan = []  # ordered: ("one", seg_idx) | ("area", [seg_idx...])
+    for i in range(L.n_point):
+        lpos = cpack(jnp.take(L.point_pos,
+                              jnp.full(nrays, i, jnp.int32), axis=0))
+        lcol = cpack(jnp.take(L.point_color,
+                              jnp.full(nrays, i, jnp.int32), axis=0))
         to_l = csub(lpos, p)
         dst = jnp.sqrt(cdot(to_l, to_l))
         dirn = cscale(1.0 / dst, to_l)
         cos_t = cdot(dirn, nrm)
-        gate = cos_t > 0.0
         scale = cos_t / (dst * dst)
-        intensity = cscale(scale, lcol)
-        shadow_t = dst
-    elif kind == "spot":
+        plan.append(("one", len(segs)))
+        segs.append((dirn, dst, active & (cos_t > 0.0),
+                     cmul(cscale(scale, lcol), alb)))
+    for i in range(L.n_area):
+        ki = jax.random.fold_in(key, 1000 + i)
+        idx = jnp.full(nrays, i, jnp.int32)
+        lpos = cpack(jnp.take(L.area_pos, idx, axis=0))
+        lcol = cpack(jnp.take(L.area_color, idx, axis=0))
+        lmul = jnp.take(L.area_mult, idx, axis=0)
+        lrad = jnp.take(L.area_radius, idx, axis=0)
+        sidx = []
+        for k in range(cfg.num_area_samples):
+            gk = _nrml(cfg, ki, 200 + k, (3, nrays))
+            rnd = coctant_dir((gk[0], gk[1], gk[2]))
+            target = cadd(cscale(lrad, rnd), lpos)
+            to_l = csub(target, p)
+            dst = jnp.sqrt(cdot(to_l, to_l))
+            dirn = cscale(1.0 / dst, to_l)
+            cos_t = cdot(dirn, nrm)
+            scale = (cos_t * lmul * lrad * lrad * (4.0 * jnp.pi)
+                     / (dst * dst))
+            sidx.append(len(segs))
+            segs.append((dirn, dst, active & (cos_t > 0.0),
+                         cscale(scale, lcol)))
+        plan.append(("area", sidx))
+    for i in range(L.n_spot):
+        idx = jnp.full(nrays, i, jnp.int32)
         lpos = cpack(jnp.take(L.spot_pos, idx, axis=0))
         ldir = cpack(jnp.take(L.spot_dir, idx, axis=0))
         lcol = cpack(jnp.take(L.spot_color, idx, axis=0))
@@ -492,60 +529,44 @@ def _light_contribution(scene: SceneData, cfg: RenderConfig, p, nrm, alb,
         dst = jnp.sqrt(cdot(to_l, to_l))
         dirn = cscale(1.0 / dst, to_l)
         cos_t = cdot(dirn, ldir)
-        gate = cos_t > lcos
         alpha = 1.0 - (1.0 - cos_t) / (1.0 - lcos)
-        intensity = cscale(cos_t / (dst * dst) * alpha, lcol)
-        shadow_t = dst
-    elif kind == "dir":
-        dirn = tuple(jnp.broadcast_to(-L.dir_direction[i], (nrays,))
-                     for i in range(3))
-        cos_t = cdot(dirn, nrm)
-        # a black directional light (the reference default) contributes
-        # zero whatever the occlusion says — gating it off is bitwise
-        # identical (intensity == 0) and saves one full shadow traversal
-        # per whitted iteration (the fused stochastic path already gates)
-        dir_on = jnp.any(L.dir_color != 0.0)
-        gate = (cos_t > 0.0) & dir_on
-        intensity = cscale(cos_t, tuple(L.dir_color[i] for i in range(3)))
-        shadow_t = jnp.full(nrays, BIG, F32)
-    else:
-        raise AssertionError(kind)
-    origin = coffset(p, nrm)
-    need = active & gate
-    occ = is_occluded_world(scene, origin, dirn, shadow_t, need,
-                            use_tlas=cfg.use_tlas_bvh)
-    lit = need & ~occ
-    zero = (jnp.zeros(nrays, F32),) * 3
-    return cwhere(lit, cmul(intensity, alb), zero)
+        plan.append(("one", len(segs)))
+        segs.append((dirn, dst, active & (cos_t > lcos),
+                     cmul(cscale(cos_t / (dst * dst) * alpha, lcol), alb)))
+    # directional light — black default contributes zero; gate the rays
+    dirn = tuple(jnp.broadcast_to(-L.dir_direction[i], (nrays,))
+                 for i in range(3))
+    cos_d = cdot(dirn, nrm)
+    dir_on = jnp.any(L.dir_color != 0.0)
+    plan.append(("one", len(segs)))
+    segs.append((dirn, jnp.full(nrays, BIG, F32),
+                 active & (cos_d > 0.0) & dir_on,
+                 cmul(cscale(cos_d, tuple(L.dir_color[i]
+                                          for i in range(3))), alb)))
 
-
-def _area_contribution(scene, cfg, p, nrm, alb, idx, active, key):
-    """Sphere area light, numCheckShadowsAreaLight stochastic samples
-    (renderer.cpp:161-207)."""
-    L = scene.lights
-    nrays = p[0].shape[0]
-    lpos = cpack(jnp.take(L.area_pos, idx, axis=0))
-    lcol = cpack(jnp.take(L.area_color, idx, axis=0))
-    lmul = jnp.take(L.area_mult, idx, axis=0)
-    lrad = jnp.take(L.area_radius, idx, axis=0)
-    origin = coffset(p, nrm)
-    acc = (jnp.zeros(nrays, F32),) * 3
-    for k in range(cfg.num_area_samples):
-        gk = _nrml(cfg, key, 200 + k, (3, nrays))
-        rnd = coctant_dir((gk[0], gk[1], gk[2]))
-        target = cadd(cscale(lrad, rnd), lpos)
-        to_l = csub(target, p)
-        dst = jnp.sqrt(cdot(to_l, to_l))
-        dirn = cscale(1.0 / dst, to_l)
-        cos_t = cdot(dirn, nrm)
-        need = active & (cos_t > 0.0)
-        occ = is_occluded_world(scene, origin, dirn, dst, need,
+    nseg = len(segs)
+    o_all = tuple(jnp.concatenate([origin[c]] * nseg) for c in range(3))
+    d_all = tuple(jnp.concatenate([s[0][c] for s in segs])
+                  for c in range(3))
+    t_all = jnp.concatenate([s[1] for s in segs])
+    need_all = jnp.concatenate([s[2] for s in segs])
+    occ_all = is_occluded_world(scene, o_all, d_all, t_all, need_all,
                                 use_tlas=cfg.use_tlas_bvh)
-        lit = need & ~occ
-        scale = cos_t * lmul * lrad * lrad * (4.0 * jnp.pi) / (dst * dst)
-        contrib = cscale(scale, lcol)
-        acc = cwhere(lit, cadd(acc, contrib), acc)
-    return cmul(cscale(1.0 / cfg.num_area_samples, acc), alb)
+    lits = [segs[k][2] & ~occ_all[k * nrays:(k + 1) * nrays]
+            for k in range(nseg)]
+
+    acc = zero
+    for item in plan:
+        if item[0] == "one":
+            k = item[1]
+            acc = cadd(acc, cwhere(lits[k], segs[k][3], zero))
+        else:
+            a_acc = zero
+            for k in item[1]:
+                a_acc = cwhere(lits[k], cadd(a_acc, segs[k][3]), a_acc)
+            acc = cadd(acc, cmul(cscale(1.0 / cfg.num_area_samples, a_acc),
+                                 alb))
+    return acc
 
 
 def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key,
@@ -572,23 +593,9 @@ def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key,
     zero = (jnp.zeros(nrays, F32),) * 3
 
     if cfg.deterministic_lights:
-        acc = zero
-        for i in range(n_p):
-            acc = cadd(acc, _light_contribution(
-                scene, cfg, p, nrm, alb, "point",
-                jnp.full(nrays, i, jnp.int32), active, key))
-        for i in range(n_a):
-            acc = cadd(acc, _area_contribution(
-                scene, cfg, p, nrm, alb, jnp.full(nrays, i, jnp.int32),
-                active, jax.random.fold_in(key, 1000 + i)))
-        for i in range(n_s):
-            acc = cadd(acc, _light_contribution(
-                scene, cfg, p, nrm, alb, "spot",
-                jnp.full(nrays, i, jnp.int32), active, key))
-        acc = cadd(acc, _light_contribution(
-            scene, cfg, p, nrm, alb, "dir",
-            jnp.zeros(nrays, jnp.int32), active, key))
-        return acc
+        # one batched shadow pass for ALL lights (numerically identical
+        # to the per-light _light_contribution/_area_contribution loop)
+        return _det_illumination(scene, cfg, p, nrm, alb, active, key)
 
     u = _uni(cfg, key, 7, (nrays,))
     idx = jnp.minimum((u * total).astype(jnp.int32), total - 1)
@@ -1089,71 +1096,83 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
 
 def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
                        depth: int, return_iters: bool = False):
-    """Iterative Whitted with an explicit per-ray branch stack.
+    """Iterative Whitted as a fixed-width WAVEFRONT QUEUE over branches.
 
-    The recursive trace_whitted compiles a 3^depth tree of traversal
-    instantiations (VERDICT r1 'brittle'); here each wavefront iteration
-    pops ONE pending branch per ray (weighted by the path product), traces
-    all rays fused, accumulates the terminal/NEE contribution, and pushes
-    the continuations: metal -> 1 (mirror), glass/smoke -> up to 2
-    (Fresnel split), diffuse/emissive/miss -> 0.  Compiles ONE body;
-    runtime iterations = max live branches per ray.  Same estimator as
-    trace_whitted (deterministic), summation order differs by float
-    rounding only."""
+    The reference recurses a megafunction per branch (renderer.cpp:
+    1076-1328); round-2's TPU rewrite kept a per-ray LIFO stack and popped
+    ONE branch per ray per iteration — so the iteration count equalled the
+    largest branch TREE over the image (room.vox's glass floor at depth 5:
+    36 full-width nearest+shadow passes even after weight culling, the
+    slowest surface in the repo, VERDICT r4).  Branches of one pixel only
+    ever ADD radiance, so their processing order is free.  This version
+    keeps ALL pixels' pending branches in one compact queue and each
+    iteration processes the first W = N of them, whoever's they are:
+
+      * each processed branch contributes its terminal/NEE radiance
+        (three 1-D channel scatter-adds — a [W, 3] row scatter costs
+        ~40 ns/row, the flat channel form ~7, PERF_NOTES.md) and emits
+        up to two weighted children (metal mirror / Fresnel split,
+        weight-culled at cfg.whitted_cull_eps);
+      * children compact (one cumsum + 1-D position scatter + row
+        gather) and append at the queue tail, preserving parent order so
+        the primaries' tile layout keeps feeding the Pallas dead-block
+        gate;
+      * iterations ~ total-branch-work / N + chain depth (room: 10 vs the
+        stack's 36), and every per-iteration op is O(N) — the full-width
+        BFS variant of this rewrite ran O(4N) sky/material/scatter ops
+        per level and measured SLOWER than the stack it replaced.
+
+    The queue rides in ONE packed [cap, 12] f32 matrix (columns: o, d,
+    weight, in_glass, depth-left, pixel id); cap = 5N holds every
+    measured scene's population (room peaks ~2.6N; growth beyond 4N
+    drops newest-first).  Estimator and per-branch math are unchanged vs
+    the recursive trace_whitted; only the float SUMMATION ORDER per pixel
+    differs (branch adds commute to rounding)."""
     n = o.shape[0]
-    S = depth + 2  # stack slots: glass pushes <=1 extra per level
+    W = n
+    cap = 5 * n
+    NC = 12  # ox oy oz dx dy dz wr wg wb gl dep pix
 
-    def spush(stk, sp, vals, mask):
-        """Push vals (dict of [N] arrays) at slot sp for masked rays."""
-        out = {}
-        onehot = (jnp.arange(S)[:, None] == sp[None, :]) & mask[None, :]
-        for kk, v in vals.items():
-            out[kk] = jnp.where(onehot, v[None, :], stk[kk])
-        return out, jnp.where(mask, jnp.minimum(sp + 1, S), sp)
+    def pack(o3, d3, w, gl, dep, pix):
+        return jnp.stack([o3[0], o3[1], o3[2], d3[0], d3[1], d3[2],
+                          w[0], w[1], w[2], gl, dep, pix], axis=1)
 
-    def speek(stk, sp):
-        idx = jnp.maximum(sp - 1, 0)
-        sel = jnp.arange(S)[:, None] == idx[None, :]
-        return {kk: jnp.sum(jnp.where(sel, v, 0), axis=0) for kk, v in
-                stk.items()}
-
-    zero = jnp.zeros((S, n), F32)
-    stack = dict(ox=zero, oy=zero, oz=zero, dx=zero, dy=zero, dz=zero,
-                 wr=zero, wg=zero, wb=zero, gl=zero, dep=zero)
-    sp = jnp.zeros(n, jnp.int32)
-    stack, sp = spush(stack, sp, dict(
-        ox=o[:, 0], oy=o[:, 1], oz=o[:, 2],
-        dx=d[:, 0], dy=d[:, 1], dz=d[:, 2],
-        wr=jnp.ones(n, F32), wg=jnp.ones(n, F32), wb=jnp.ones(n, F32),
-        gl=jnp.zeros(n, F32), dep=jnp.full(n, depth, F32)),
-        jnp.ones(n, bool))
+    fr0 = jnp.zeros((cap, NC), F32)
+    prim = pack(cpack(o), cpack(d), (jnp.ones(n, F32),) * 3,
+                jnp.zeros(n, F32), jnp.full(n, depth, F32),
+                jnp.arange(n, dtype=F32))
+    fr0 = jax.lax.dynamic_update_slice_in_dim(fr0, prim, 0, axis=0)
+    img0 = jnp.zeros(3 * n, F32)  # flat channel-interleaved accumulator
 
     def body(carry):
-        stack, sp, color, it = carry
-        live = sp > 0
-        task = speek(stack, sp)
-        sp = jnp.where(live, sp - 1, sp)
-        to = cstack((task["ox"], task["oy"], task["oz"]))
-        td = cstack((task["dx"], task["dy"], task["dz"]))
-        w = (task["wr"], task["wg"], task["wb"])
-        in_glass = task["gl"] > 0.5
-        dep = task["dep"].astype(jnp.int32)
+        fr, count, img, it = carry
+        take = jnp.minimum(count, W)
+        batch = fr[:W]
+        live = jnp.arange(W, dtype=jnp.int32) < take
+        toc = (batch[:, 0], batch[:, 1], batch[:, 2])
+        tdc = (batch[:, 3], batch[:, 4], batch[:, 5])
+        w = (batch[:, 6], batch[:, 7], batch[:, 8])
+        in_glass = batch[:, 9] > 0.5
+        dep = batch[:, 10].astype(jnp.int32)
+        pix = batch[:, 11].astype(jnp.int32)
+        to = cstack(toc)
+        td = cstack(tdc)
 
         rec = find_nearest_world(scene, to, td, live,
                                  use_tlas=cfg.use_tlas_bvh)
         t, mat, vol = rec["t"], rec["mat"], rec["vol"]
         nrm = (rec["nx"], rec["ny"], rec["nz"])
         in_glass = jnp.where(rec["prim_adopt"], rec["prim_inside"], in_glass)
-        sky = _sky_c(scene, cfg, cpack(td))
+        sky = _sky_c(scene, cfg, tdc)
         miss = live & (mat == MAT_NONE)
-        color = cwhere(miss, cadd(color, cmul(w, sky)), color)
+        contrib = cwhere(miss, cmul(w, sky), (jnp.zeros(W, F32),) * 3)
         live_hit = live & ~miss
 
         mtab = jnp.concatenate(
             [scene.materials.albedo,
              scene.materials.emissive[:, None],
              scene.materials.ior[:, None]], axis=1)
-        mrow = jnp.take(mtab, mat, axis=0, mode="clip")
+        mrow = lookup_rows(mtab, jnp.clip(mat, 0, 255))
         alb = (mrow[:, 0], mrow[:, 1], mrow[:, 2])
         emis, ior = mrow[:, 3], mrow[:, 4]
 
@@ -1164,40 +1183,41 @@ def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
         is_model = (mat > EMISSIVE) & (mat != MAT_NONE)
         is_diffuse = (mat < METAL_HIGH) | is_model
 
-        # medium march (cond-skipped on iterations with no rays in a medium)
+        # medium march (cond-skipped on iterations with no medium rays)
         march = live_hit & in_glass & (is_glass_m | is_smoke) & (vol >= 0)
         mode_code = jnp.where(is_glass_m, dda.EXIT_GLASS, dda.EXIT_SMOKE)
         in_vol, t_exit, nrm_exit = jax.lax.cond(
             jnp.any(march),
             lambda a: material_exit_world(scene, *a),
-            lambda a: (jnp.zeros(n, bool), jnp.zeros(n, F32),
-                       (jnp.zeros(n, F32),) * 3),
+            lambda a: (jnp.zeros(W, bool), jnp.zeros(W, F32),
+                       (jnp.zeros(W, F32),) * 3),
             (to, td, vol, mode_code, march))
         t = jnp.where(march, t_exit, t)
         nrm = cwhere(march & in_vol, nrm_exit, nrm)
         fell = march & ~in_vol
-        tdc = cpack(td)
-        toc = cpack(to)
         toc = cwhere(fell, cadd(toc, cscale(t, tdc)), toc)
         t = jnp.where(fell, 0.0, t)
         p_hit = cadd(toc, cscale(t, tdc))
 
         # emissive terminal
-        color = cwhere(live_hit & is_emissive,
-                       cadd(color, cmul(w, cscale(emis, alb))), color)
+        contrib = cwhere(live_hit & is_emissive,
+                         cadd(contrib, cmul(w, cscale(emis, alb))), contrib)
 
         # diffuse: NEE sum
         nee_mask = live_hit & is_diffuse & (dep >= 0)
         inc = illumination(scene, cfg, p_hit, nrm, mat, nee_mask,
-                           jax.random.PRNGKey(0))
-        color = cwhere(nee_mask & ~is_model, cadd(color, cmul(w, inc)),
-                       color)
-        color = cwhere(nee_mask & is_model,
-                       cadd(color, cmul(w, cmul(alb, inc))), color)
+                           jax.random.PRNGKey(0), alb=alb)
+        contrib = cwhere(nee_mask & ~is_model, cadd(contrib, cmul(w, inc)),
+                         contrib)
+        contrib = cwhere(nee_mask & is_model,
+                         cadd(contrib, cmul(w, cmul(alb, inc))), contrib)
+
+        for c in range(3):
+            img = img.at[pix * 3 + c].add(
+                jnp.where(live, contrib[c], 0.0))
 
         can_rec = dep > 0
-        refl = creflect(tdc, nrm)
-        refl = cunit(refl)
+        refl = cunit(creflect(tdc, nrm))
 
         # metal continuation (weight *= albedo)
         metal_go = live_hit & is_metal & can_rec
@@ -1215,7 +1235,7 @@ def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
         r_coef = jnp.where(cannot_refract, 1.0,
                            mathx.schlick(cos_g, ratio, jnp))
         r_coef = jnp.where(smoke_mask, 0.0, r_coef)
-        glass_color = cwhere(in_glass, alb, (jnp.ones(n, F32),) * 3)
+        glass_color = cwhere(in_glass, alb, (jnp.ones(W, F32),) * 3)
         intensity = jnp.where(in_glass & is_smoke, emis, 0.0)
         dist = jnp.where(march, t, 0.0)
         smoke_trans = tuple(
@@ -1230,10 +1250,10 @@ def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
             need_refr = media_mask & (r_coef < 1.0)
             need_refl = media_mask & glass_mask & (r_coef > 0.0)
         else:
-            need_refr = jnp.zeros(n, bool)
-            need_refl = jnp.zeros(n, bool)
+            need_refr = jnp.zeros(W, bool)
+            need_refl = jnp.zeros(W, bool)
 
-        # continuation 1 (in-place push): metal mirror OR refracted branch
+        # child 1: metal mirror OR refracted branch
         c1 = metal_go | need_refr
         c1_o = cwhere(metal_go, mo, fo)
         c1_d = cwhere(metal_go, refl, refr_dir)
@@ -1242,34 +1262,57 @@ def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
         c1_w = cwhere(metal_go, w_metal, w_refr)
         c1_gl = jnp.where(metal_go, 0.0,
                           jnp.where(media_mask, 1.0 - in_glass, in_glass))
-        stack, sp = spush(stack, sp, dict(
-            ox=c1_o[0], oy=c1_o[1], oz=c1_o[2],
-            dx=c1_d[0], dy=c1_d[1], dz=c1_d[2],
-            wr=c1_w[0], wg=c1_w[1], wb=c1_w[2],
-            gl=c1_gl, dep=(dep - 1).astype(F32)), c1)
-
-        # continuation 2: reflected glass branch
+        # child 2: reflected glass branch
         ro = coffset(p_hit, nrm)
         w_refl = cscale(r_coef, cmul(w, media_color))
-        stack, sp = spush(stack, sp, dict(
-            ox=ro[0], oy=ro[1], oz=ro[2],
-            dx=refl[0], dy=refl[1], dz=refl[2],
-            wr=w_refl[0], wg=w_refl[1], wb=w_refl[2],
-            gl=in_glass.astype(F32), dep=(dep - 1).astype(F32)),
-            need_refl)
+        c2 = need_refl
+        if cfg.whitted_cull_eps > 0.0:
+            # a culled branch changes its pixel by at most eps x radiance
+            eps = cfg.whitted_cull_eps
+            c1 = c1 & (jnp.maximum(jnp.maximum(c1_w[0], c1_w[1]), c1_w[2])
+                       > eps)
+            c2 = c2 & (jnp.maximum(jnp.maximum(w_refl[0], w_refl[1]),
+                                   w_refl[2]) > eps)
 
-        return stack, sp, color, it + 1
+        ch1 = pack(c1_o, c1_d, c1_w, c1_gl, (dep - 1).astype(F32),
+                   pix.astype(F32))
+        ch2 = pack(ro, refl, w_refl, in_glass.astype(F32),
+                   (dep - 1).astype(F32), pix.astype(F32))
+        children = jnp.concatenate([ch1, ch2], axis=0)  # [2W, NC]
+        valid = jnp.concatenate([c1, c2])
+        # stable compaction of valid children: cumsum + 1-D position
+        # scatter + row gather (a row SCATTER of the children would cost
+        # ~40 ns/row, PERF_NOTES.md); invalid rows route out of range and
+        # drop
+        vi = valid.astype(jnp.int32)
+        dest = jnp.cumsum(vi) - 1
+        nc = dest[-1] + 1
+        dest_w = jnp.where(valid, dest, 2 * W)
+        src = jnp.zeros(2 * W, jnp.int32).at[dest_w].set(
+            jnp.arange(2 * W, dtype=jnp.int32), mode="drop")
+        ch_comp = jnp.take(children, src, axis=0)  # [2W, NC] (prefix valid)
+
+        # pop the batch, append the children: remaining queue shifts down
+        # W rows, the compacted child block lands at the new tail.  Rows
+        # past the valid prefix are garbage the NEXT append overwrites
+        # (appends always start exactly at `count`).
+        rem = jnp.minimum(jnp.maximum(count - W, 0), 4 * n - 2 * W)
+        fr = jnp.roll(fr, -W, axis=0)
+        fr = jax.lax.dynamic_update_slice(fr, ch_comp,
+                                          (rem, jnp.int32(0)))
+        count = rem + nc
+        return fr, count, img, it + 1
 
     def cond(carry):
-        _, sp, _, it = carry
-        return jnp.any(sp > 0) & (it < 2 ** (depth + 1) + 4)
+        _, count, _, it = carry
+        return (count > 0) & (it < 4 * (depth + 2) + 8)
 
-    zero3 = (jnp.zeros(n, F32),) * 3
-    _, _, color, iters = jax.lax.while_loop(
-        cond, body, (stack, sp, zero3, jnp.int32(0)))
+    _, _, img, iters = jax.lax.while_loop(
+        cond, body, (fr0, jnp.int32(n), img0, jnp.int32(0)))
+    img = img.reshape(n, 3)
     if return_iters:
-        return cstack(color), iters
-    return cstack(color)
+        return img, iters
+    return img
 
 
 # --------------------------------------------------------------------------
