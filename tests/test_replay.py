@@ -266,6 +266,104 @@ def _glass_scene(w=24, h=24):
     return scene, cfg
 
 
+def _smoke_scene(w=24, h=24):
+    """Smoke block filling the view in front of a blue wall with the light
+    between them: the wall is seen only THROUGH the medium, and the smoke
+    voxels' density reaches the image through the replayed smoke chain's
+    absorption exponent (renderer.cpp:1210-1314, Absorption :1596-1608)
+    — the transport that had NO gradient path before round 5."""
+    from voxtracer.core.types import SMOKE_MID_DENSITY
+
+    mats = default_materials()
+    specs = [
+        # smoke slab: z in [0.4, 0.8], covers the frustum in x/y
+        VolumeSpec(position=(0.0, 0.0, 0.1), gridsize=8,
+                   grid=solid_grid(8, SMOKE_MID_DENSITY),
+                   scale=(3.0, 3.0, 0.4)),
+        # wall: z in [2.0, 2.2], only visible through the smoke
+        VolumeSpec(position=(0.0, 0.0, 0.8), gridsize=1,
+                   grid=solid_grid(1, 2), scale=(3.0, 3.0, 0.2)),
+    ]
+    vols = build_volumes(specs)
+    lights = make_lights(point=((0.5, 0.5, 1.4, 4.0, 4.0, 4.0),))
+    cam = make_camera(pos=(0.5, 0.5, -1.2), target=(0.5, 0.5, 2.1),
+                      aspect=w / h)
+    scene = _assemble(vols, mats, lights=lights, camera=cam)
+    cfg = RenderConfig(width=w, height=h, mode="path", max_bounces=3,
+                       activate_sky=False, deterministic_lights=True)
+    return scene, cfg
+
+
+def test_replay_smoke_density_fd():
+    """FD vs autodiff for the smoke voxels' density through the replayed
+    absorption exponent (target differs only inside/behind the medium)."""
+    scene, cfg = _smoke_scene()
+    scene = jax.tree.map(jnp.asarray, scene)
+    params = params_from_scene(scene, occupied_logit=0.3, empty_logit=-6.0)
+    key = jax.random.PRNGKey(4)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+
+    def loss(p):
+        img = render_diff_replay(p, scene, cfg, key, **KW)
+        return jnp.sum((img - target) ** 2)
+
+    g = jax.grad(loss)(params)
+    gd = np.asarray(g.density_logits)
+    assert np.isfinite(gd).all()
+    # the smoke volume's cells must receive gradient through the chain
+    assert np.abs(gd[0]).max() > 0.0
+
+    flat = np.abs(gd[0]).reshape(-1)
+    cand = [fi for fi in np.argsort(flat)[-3:] if flat[fi] > 0.2 * flat.max()]
+    assert cand, "no FD-measurable smoke cells"
+    eps = 2e-2
+    for fi in cand:
+        xi, yi, zi = np.unravel_index(fi, gd[0].shape)
+        vals = []
+        for s in (+1.0, -1.0):
+            dl = np.asarray(params.density_logits).copy()
+            dl[0, xi, yi, zi] += s * eps
+            vals.append(float(loss(dataclasses.replace(
+                params, density_logits=jnp.asarray(dl)))))
+        fd = (vals[0] - vals[1]) / (2 * eps)
+        ad = gd[0, xi, yi, zi]
+        assert abs(fd - ad) < 0.2 * max(abs(fd), abs(ad)) + 1e-5, (fd, ad)
+
+
+def test_replay_smoke_density_recovery():
+    """Inverse rendering: recover the smoke volume's density from images
+    whose target differs ONLY in how much the medium absorbs (the wall
+    behind is identical) — exercises the density -> soft-length ->
+    absorption gradient chain end to end."""
+    import optax
+
+    scene, cfg = _smoke_scene()
+    scene = jax.tree.map(jnp.asarray, scene)
+    key = jax.random.PRNGKey(5)
+    kw = dict(KW, density_scale=8.0)
+
+    p_target = params_from_scene(scene, occupied_logit=2.0, empty_logit=-3.0)
+    target = render_diff_replay(p_target, scene, cfg, key, **kw)
+
+    dl = np.asarray(p_target.density_logits).copy()
+    dl[0] = -2.0  # init: thin smoke; target: dense
+    params = dataclasses.replace(p_target, density_logits=jnp.asarray(dl))
+    loss0 = float(mse_loss_replay(params, scene, cfg, target, key, **kw))
+    assert loss0 > 1e-7, "target must differ through the medium"
+
+    grad_jit = jax.jit(jax.grad(mse_loss_replay),
+                       static_argnames=("cfg", "n_steps", "seg_steps"))
+    opt = optax.adam(0.25)
+    state = opt.init(params.density_logits)
+    for _ in range(40):
+        g = grad_jit(params, scene, cfg, target, key, **kw)
+        upd, state = opt.update(g.density_logits, state)
+        params = dataclasses.replace(
+            params, density_logits=params.density_logits + upd)
+    loss1 = float(mse_loss_replay(params, scene, cfg, target, key, **kw))
+    assert loss1 < loss0 * 0.2, (loss0, loss1)
+
+
 def test_replay_glass_chain_fd_and_convergence():
     """Gradients THROUGH a dielectric chain of depth >= 3: FD vs autodiff
     for the behind-glass wall albedo, and inverse-rendering convergence

@@ -888,6 +888,14 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key,
                                          cfg.compact_chunks)
         return (rad, aux) if return_aux else rad
 
+    reorder = (cfg.bounce_reorder == "always"
+               or (cfg.bounce_reorder == "auto"
+                   and _pages(scene) is not None
+                   and n >= cfg.compact_min))
+    if reorder and cfg.max_bounces >= 1:
+        rad, aux = _trace_path_reordered(scene, cfg, state, key, n)
+        return (rad, aux) if return_aux else rad
+
     def bounce(carry):
         st, depth = carry
         return (_bounce_core(scene, cfg, st, jax.random.fold_in(key, depth)),
@@ -906,6 +914,118 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key,
     return cstack(rad)
 
 
+def _pack_path(st, pix):
+    """Path-wavefront state as ONE [n, 22] f32 matrix (cols: o, d, tp,
+    rad, in_glass, active, original ray id — f32-exact for n < 2^24 —
+    in_light, sky_tp, sky_d) so per-bounce permutations are a single 2-D
+    row gather (~2.6 ns/row vs 16 separate 1-D takes, PERF_NOTES.md)."""
+    cols = (list(st["o"]) + list(st["d"]) + list(st["tp"])
+            + list(st["rad"])
+            + [st["in_glass"].astype(F32), st["active"].astype(F32), pix,
+               st["in_light"].astype(F32)]
+            + list(st["sky_tp"]) + list(st["sky_d"]))
+    return jnp.stack(cols, axis=1)
+
+
+def _unpack_path(pk):
+    return dict(
+        o=(pk[:, 0], pk[:, 1], pk[:, 2]),
+        d=(pk[:, 3], pk[:, 4], pk[:, 5]),
+        tp=(pk[:, 6], pk[:, 7], pk[:, 8]),
+        rad=(pk[:, 9], pk[:, 10], pk[:, 11]),
+        in_glass=pk[:, 12] > 0.5, active=pk[:, 13] > 0.5,
+        in_light=pk[:, 15] > 0.5,
+        sky_tp=(pk[:, 16], pk[:, 17], pk[:, 18]),
+        sky_d=(pk[:, 19], pk[:, 20], pk[:, 21]),
+    ), pk[:, 14]
+
+
+def _world_bounds(scene: SceneData):
+    """World AABB over all instances: the 8 object-cube corners of every
+    volume pushed through fwd (tlas.instance_world_aabbs, traced)."""
+    vols = scene.volumes
+    cb = vols.cube_min  # [V, 3]
+    lo = None
+    hi = None
+    for cx in (0.0, 1.0):
+        for cy in (0.0, 1.0):
+            for cz in (0.0, 1.0):
+                p = cb + jnp.asarray([cx, cy, cz], F32)[None, :]
+                w = (jnp.einsum("vij,vj->vi", vols.fwd[:, :3, :3], p)
+                     + vols.fwd[:, :3, 3])
+                lo = w if lo is None else jnp.minimum(lo, w)
+                hi = w if hi is None else jnp.maximum(hi, w)
+    return jnp.min(lo, axis=0), jnp.max(hi, axis=0)
+
+
+def _trace_path_reordered(scene: SceneData, cfg: RenderConfig, state, key,
+                          n: int):
+    """Bounce loop with per-bounce SPATIAL re-clustering of the wavefront.
+
+    Diffuse-bounced rays are spatially incoherent: a 1024-lane block
+    holds origins from all over the scene, so the per-block dead gate
+    never fires and per-ray page culling cannot prune whole blocks —
+    city-XL's bounces 1-4 cost ~190 ms each vs 80 ms for the tile-ordered
+    bounce 0 (PERF_NOTES round 4).  Before every bounce >= 1 this driver
+    sorts the packed state by
+
+        [ terminated : morton(origin, 5 bits/axis) : direction octant ]
+
+    (one stable lax.sort of an i32 key + one [n, 22] row gather), so each
+    block's rays start in the same coarse world cell heading the same
+    way: terminated rays cluster into dead blocks again, and live blocks
+    touch 1-2 volume pages instead of all of them.  Pure dispatch order —
+    per-lane estimators are unchanged; the counter-hash sampler reassigns
+    which lane draws which jitter values (same distributions).  The final
+    un-permutation is an inverse-index build + row gather (a row scatter
+    would cost ~40 ns/row, PERF_NOTES.md)."""
+    lo, hi = _world_bounds(scene)
+    span = jnp.maximum(hi - lo, 1e-6)
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def morton_key(pk):
+        done = pk[:, 13] <= 0.5
+        q = []
+        for c in range(3):
+            f = (pk[:, c] - lo[c]) / span[c]
+            q.append(jnp.clip((f * 32.0).astype(jnp.int32), 0, 31))
+        m = jnp.zeros(n, jnp.int32)
+        for bit in range(5):
+            for c in range(3):
+                m = m | (((q[c] >> bit) & 1) << (3 * bit + c + 3))
+        oct_ = ((pk[:, 3] < 0).astype(jnp.int32)
+                + 2 * (pk[:, 4] < 0).astype(jnp.int32)
+                + 4 * (pk[:, 5] < 0).astype(jnp.int32))
+        return jnp.where(done, jnp.int32(1 << 30), m | oct_)
+
+    def outer(carry):
+        pk, depth = carry
+
+        def reorder(pk):
+            k_srt, perm = jax.lax.sort((morton_key(pk), iota), num_keys=1)
+            return jnp.take(pk, perm, axis=0)
+
+        # bounce 0 keeps the camera tile order (already coherent)
+        pk = jax.lax.cond(depth > 0, reorder, lambda x: x, pk)
+        st, pix = _unpack_path(pk)
+        st = _bounce_core(scene, cfg, st, jax.random.fold_in(key, depth))
+        return _pack_path(st, pix), depth + 1
+
+    def cond(carry):
+        pk, depth = carry
+        return (depth < cfg.max_bounces + 1) & jnp.any(pk[:, 13] > 0.5)
+
+    packed0 = _pack_path(state, jnp.arange(n, dtype=F32))
+    pk, _ = jax.lax.while_loop(cond, outer, (packed0, jnp.int32(0)))
+    st_f, pixf = _unpack_path(pk)
+    radc = cstack(_apply_deferred_sky(scene, cfg, st_f))
+    pix = pixf.astype(jnp.int32)
+    inv = jnp.zeros(n, jnp.int32).at[pix].set(iota)
+    rad = jnp.take(radc, inv, axis=0)
+    in_light = jnp.take(pk[:, 15] > 0.5, inv)
+    return rad, dict(in_light=in_light)
+
+
 def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
                           n: int, chunks: int):
     """Chunked-wavefront bounce loop: lockstep traversal cost is width x
@@ -922,26 +1042,7 @@ def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
     throughput, 9-11 radiance, 12 in_glass, 13 active, 14 original ray id
     (f32-exact for n < 2^24), 15 in_light."""
     ch = n // chunks
-
-    def pack(st, pix):
-        cols = (list(st["o"]) + list(st["d"]) + list(st["tp"])
-                + list(st["rad"])
-                + [st["in_glass"].astype(F32), st["active"].astype(F32), pix,
-                   st["in_light"].astype(F32)]
-                + list(st["sky_tp"]) + list(st["sky_d"]))
-        return jnp.stack(cols, axis=1)
-
-    def unpack(pk):
-        return dict(
-            o=(pk[:, 0], pk[:, 1], pk[:, 2]),
-            d=(pk[:, 3], pk[:, 4], pk[:, 5]),
-            tp=(pk[:, 6], pk[:, 7], pk[:, 8]),
-            rad=(pk[:, 9], pk[:, 10], pk[:, 11]),
-            in_glass=pk[:, 12] > 0.5, active=pk[:, 13] > 0.5,
-            in_light=pk[:, 15] > 0.5,
-            sky_tp=(pk[:, 16], pk[:, 17], pk[:, 18]),
-            sky_d=(pk[:, 19], pk[:, 20], pk[:, 21]),
-        ), pk[:, 14]
+    pack, unpack = _pack_path, _unpack_path
 
     packed0 = pack(state, jnp.arange(n, dtype=F32))
     iota = jnp.arange(n, dtype=jnp.int32)

@@ -216,12 +216,54 @@ def paginate_volumes(vols: VoxVolumes, page: int = 24) -> VoxVolumes:
     `vols.pages`.  The Pallas traversal walks one page at a time and
     min-merges — the per-fetch where-chain length scales with the PAGE's
     table sizes, not the whole scene's, so the V<=64 VMEM-chain cliff
-    (VERDICT r2 item 3) goes away.  Page order preserves volume order, so
-    the earliest-volume tie-break survives the merge.  The parent's own
-    arrays are untouched (the XLA/oracle paths keep using them)."""
+    (VERDICT r2 item 3) goes away.
+
+    Volumes are first MORTON-REORDERED by world-AABB center (the parent
+    arrays and the pages alike — one consistent volume order, so the
+    XLA/oracle paths and vol ids agree), making every page a spatially
+    COMPACT cluster instead of a scene-order stripe: the per-ray page
+    culling in integrator._paged_traverse skips a page when no better hit
+    can exist in it, and compact page AABBs are what make that test
+    selective for spatially re-clustered bounce rays
+    (cfg.bounce_reorder).  The reorder is a scene-definition order
+    change: the earliest-volume tie-break now follows morton order
+    (exact-tie resolution only; all non-tied results are unchanged)."""
     v = vols.n
     if v <= page:
         return vols
+    from voxtracer.scene.tlas import instance_world_aabbs
+
+    lo_w, hi_w = instance_world_aabbs(vols)
+    ctr = (lo_w + hi_w) * 0.5
+    cmin = ctr.min(axis=0)
+    span = np.maximum(ctr.max(axis=0) - cmin, 1e-6)
+    q = np.clip(((ctr - cmin) / span * 16.0).astype(np.int64), 0, 15)
+    morton = np.zeros(v, np.int64)
+    for bit in range(4):
+        for c in range(3):
+            morton |= ((q[:, c] >> bit) & 1) << (3 * bit + c)
+    perm = np.argsort(morton, kind="stable")
+    vols = vols.replace(
+        grids=np.asarray(vols.grids)[perm],
+        gridsize=np.asarray(vols.gridsize)[perm],
+        inv=np.asarray(vols.inv)[perm],
+        fwd=np.asarray(vols.fwd)[perm],
+        cube_min=np.asarray(vols.cube_min)[perm],
+        bricks=np.asarray(vols.bricks)[perm],
+        bricksize=np.asarray(vols.bricksize)[perm],
+        occ=np.asarray(vols.occ)[:, perm],
+    )
+    # the compacted descend tables and the TLAS were built in the old
+    # order — rebuild both for the permuted parent
+    vols = compact_tables(vols)
+    from voxtracer.scene.tlas import build_tlas
+
+    lo_w, hi_w = instance_world_aabbs(vols)
+    bvh = build_tlas(lo_w, hi_w)
+    vols = vols.replace(
+        tlas_nmin=bvh["nmin"], tlas_nmax=bvh["nmax"], tlas_left=bvh["left"],
+        tlas_first=bvh["first"], tlas_count=bvh["count"],
+        tlas_order=bvh["order"].astype(np.int32))
     pages = []
     sizes = []
     for lo in range(0, v, page):
