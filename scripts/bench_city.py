@@ -1,8 +1,6 @@
 #!/usr/bin/env python
 """City (BASELINE config 5, 17 instances) forward bench at 1080p —
-records the multi-instance TLAS-scene number (VERDICT item 3).
-Also measures the dense-vs-BVH candidate paths head to head."""
-import dataclasses
+records the multi-instance scene number (VERDICT item 3)."""
 import os
 import sys
 import time
@@ -43,8 +41,6 @@ def main():
             scene, c, jax.random.fold_in(key, i), 1, 1)))
 
     pull_timed("city 1080p path fwd (dense)", lambda i: once(i, cfg))
-    cfg_bvh = dataclasses.replace(cfg, use_tlas_bvh=True)
-    pull_timed("city 1080p path fwd (TLAS BVH)", lambda i: once(i, cfg_bvh))
 
 
 if __name__ == "__main__":

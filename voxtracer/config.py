@@ -80,6 +80,11 @@ class RenderConfig:
     # Pure dispatch order: per-lane estimators are unchanged; stochastic
     # streams reassign which lane draws which sample.
     bounce_reorder: str = "auto"
+    # re-sort every k-th bounce (1 = every bounce).  The sort+permute
+    # costs ~135 ms at 1080p (the [n,22] row permute dominates, not the
+    # sort); origins drift slowly bounce-to-bounce, so clustering decays
+    # gently and a period-2 reorder keeps most of the win at half the tax.
+    bounce_reorder_period: int = 2
     # Ray dispatch order inside a render band: "scanline" (row-major) or
     # "tile" (8x128-pixel tiles, one per 1024-lane Pallas block).  The
     # Pallas traversal runs each block in lockstep until its slowest lane
@@ -91,9 +96,3 @@ class RenderConfig:
     # bit-identical; stochastic modes reassign which lane gets which
     # jitter sample).  Falls back to scanline when width % 128 != 0.
     ray_order: str = "tile"
-    # route instance culling through the TLAS BVH walk (kernels/tlas.py —
-    # the reference's dormant BasicBVH made queryable) instead of the
-    # dense per-ray slab test.  Results are bit-identical
-    # (tests/test_tlas.py); on this chip the dense test wins below ~100
-    # instances (PERF_NOTES.md), so default off.
-    use_tlas_bvh: bool = False

@@ -133,17 +133,9 @@ class VoxVolumes:
     occ: np.ndarray  # [3, V, M^3, 16] int32
     # instance TLAS (midpoint-split BVH over world AABBs — the reference's
     # dormant BasicBVH, renderer.h:220, made queryable): flat node arrays
-    # from scene/tlas.py.  Consumed by kernels/tlas.py's wavefront stack
     # traversal when VOXTRACER_TLAS=1 (measured: the dense per-ray slab
     # test beats the lockstep BVH walk below ~100 instances on this chip —
     # see PERF_NOTES.md — so the BVH path is opt-in, correctness-verified
-    # by tests/test_tlas.py bit-identity).
-    tlas_nmin: np.ndarray = None  # [M, 3] f32
-    tlas_nmax: np.ndarray = None  # [M, 3] f32
-    tlas_left: np.ndarray = None  # [M] i32 (-1 = leaf)
-    tlas_first: np.ndarray = None  # [M] i32
-    tlas_count: np.ndarray = None  # [M] i32
-    tlas_order: np.ndarray = None  # [V] i32
     # compacted plane-0 occupancy for the Pallas traversal: most bricks are
     # empty, so the descend fetch chains over occupied rows only (measured:
     # monu 16 -> 5 chain blocks, city 68 -> 8).  occ_slot maps brick ->

@@ -179,8 +179,7 @@ def _traced_leg(params, dens_flat, cell_tab, scene: SceneData, cfg,
 
     sg = jax.lax.stop_gradient
     n = o_seg.shape[0]
-    rec = find_nearest_world(scene, o_seg, d_seg, mask,
-                             use_tlas=cfg.use_tlas_bvh)
+    rec = find_nearest_world(scene, o_seg, d_seg, mask)
     hit = sg(rec["hit"])
     t = sg(rec["t"])
     m = sg(rec["mat"])
@@ -230,8 +229,7 @@ def render_diff_replay(params: DiffParams, scene: SceneData, cfg, key,
     alb_tab = params.albedo_table
 
     # -- replayed primary hit (hard traversal, stop-grad geometry)
-    rec0 = find_nearest_world(scene, o, d, jnp.ones(n, bool),
-                              use_tlas=cfg.use_tlas_bvh)
+    rec0 = find_nearest_world(scene, o, d, jnp.ones(n, bool))
     hit0 = sg(rec0["hit"])
     t0 = sg(rec0["t"])
     m0 = sg(rec0["mat"])
@@ -527,8 +525,7 @@ def _smoke_chain(params, dens_flat, cell_tab, scene: SceneData, cfg,
     o2 = mathx.offset_ray(p_out, jnp.where(scatter[:, None], d_out, -sg(
         jnp.where(in_vol[:, None], jnp.stack(nrm_exit, axis=-1), n0))),
         jnp)
-    rec2 = find_nearest_world(scene, o2, d_out, mask,
-                              use_tlas=cfg.use_tlas_bvh)
+    rec2 = find_nearest_world(scene, o2, d_out, mask)
     hit2 = sg(rec2["hit"])
     t2 = sg(rec2["t"])
     m2 = sg(rec2["mat"])

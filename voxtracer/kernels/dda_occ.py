@@ -387,8 +387,7 @@ def _entry_t(inv, cube_min, o, d):
 @partial(jax.jit, static_argnames=("mode", "max_outer", "inner", "k"))
 def traverse_occ_topk(grids_flat, gridsize, inv, fwd, cube_min, o, d,
                       t_limit, ray_active, vol_enabled, occ, bricksize,
-                      mode="nearest", k=2, max_outer=1024, inner=INNER,
-                      cand_mask=None):
+                      mode="nearest", k=2, max_outer=1024, inner=INNER):
     """Nearest/occluded traversal over PAIR-COMPACTED candidates.
 
     Per ray, only the k volumes with earliest cube-entry t traverse per
@@ -413,8 +412,6 @@ def traverse_occ_topk(grids_flat, gridsize, inv, fwd, cube_min, o, d,
     # ---- candidate selection: per-ray (entry t, vol id) ascending
     t0_all = _entry_t(inv, cube_min, o, d)  # [V, N]
     t0_all = jnp.where(vol_enabled[:, None], t0_all, BIG)
-    if cand_mask is not None:
-        t0_all = jnp.where(cand_mask, t0_all, BIG)  # TLAS-pruned pairs
     t0_all = jnp.where(jnp.isnan(t0_all), BIG, t0_all)
     ids = jnp.broadcast_to(jnp.arange(v, dtype=I32)[:, None], (v, n))
     t0_sorted, id_sorted = jax.lax.sort((t0_all, ids), dimension=0,

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from voxtracer.core.types import MAT_NONE, OCC_ANY
 from voxtracer.kernels.dda import BIG, BRICK, F32, I32, _setup
-from voxtracer.kernels.dda_occ import _entry_t, _tree16
+from voxtracer.kernels.dda_occ import _tree16
 
 INNER = 8  # gather-free fine steps per outer iteration
 
@@ -1048,15 +1048,13 @@ def _prep_tables(gridsize, inv, fwd, cube_min, occ, bricksize, plane,
 def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
                     ray_active, vol_enabled, occ, bricksize,
                     mode="nearest", max_outer=4096, inner=INNER,
-                    block_rows=8, interpret=None, cand_mask=None,
+                    block_rows=8, interpret=None,
                     macro_pre=2, occ_slot=None, occ_rows0=None,
                     count_iters=False, pal=None, pal_rows0=None,
                     ablate=()):
     """Pallas traversal, drop-in for dda_occ.traverse_occ_topk
     (modes nearest / occluded).  Returns the same per-ray dicts.
 
-    cand_mask: optional [V, N] bool of possibly-hit pairs (e.g. from the
-    TLAS BVH walk, kernels/tlas.py) — pruned pairs never traverse.
     pal/pal_rows0 (scene/instances.py build_palette_rows): hit materials
     resolve inside the kernel; without them the nearest post-pass pays the
     XLA take(grids_flat, gidx) HBM gather."""
@@ -1087,22 +1085,15 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
         nb_pal = pal_flat.shape[0] // 128
         pal16 = pal_flat.reshape(1, nb_pal, 128)
 
-    # candidate ordering: with no TLAS prune mask the entry-t computation
-    # AND the stable ordering happen IN KERNEL (incand) — the XLA
-    # lax.sort + [V,nblk,b,128] transpose preamble this skips measured
-    # 30 ms of the 40 ms full-frame nearest pass at 1080p.  vol_enabled
-    # rides as vtab row 26.
-    incand = cand_mask is None
+    # candidate ordering: the entry-t computation AND the stable ordering
+    # happen IN KERNEL (incand) — the XLA lax.sort + [V,nblk,b,128]
+    # transpose preamble this replaced measured 30 ms of the 40 ms
+    # full-frame nearest pass at 1080p.  vol_enabled rides as vtab row 26.
+    # (The non-incand branch fed by the TLAS candidate mask was removed
+    # with the TLAS — PERF_NOTES round-5 obituary.)
+    incand = True
     vtab = jnp.concatenate(
         [vtab, _pad_to(vol_enabled.astype(F32), 128)[None, :]], axis=0)
-    if not incand:
-        t0_all = _entry_t(inv, cube_min, o, d)  # [V, N]
-        t0_all = jnp.where(vol_enabled[:, None], t0_all, BIG)
-        t0_all = jnp.where(cand_mask, t0_all, BIG)
-        t0_all = jnp.where(jnp.isnan(t0_all), BIG, t0_all)
-        ids = jnp.broadcast_to(jnp.arange(v, dtype=I32)[:, None], (v, n))
-        t0_sorted, id_sorted = jax.lax.sort((t0_all, ids), dimension=0,
-                                            num_keys=1)
 
     blk = block_rows * 128
     npad = -(-n // blk) * blk
@@ -1112,24 +1103,15 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
         return _pad_to(x, blk, axis=0, fill=fill).reshape(nblk, block_rows,
                                                           128)
 
-    def cand4d(x, fill):
-        xp = _pad_to(x, blk, axis=1, fill=fill)
-        return xp.reshape(v, nblk, block_rows, 128).transpose(1, 0, 2, 3)
-
     ins = [rays2d(o[:, 0]), rays2d(o[:, 1]), rays2d(o[:, 2]),
            rays2d(d[:, 0]), rays2d(d[:, 1]), rays2d(d[:, 2]),
            rays2d(t_limit, BIG), rays2d(ray_active.astype(I32))]
-    if not incand:
-        ins += [cand4d(id_sorted, 0), cand4d(t0_sorted, BIG)]
     ins += [vtab, slot, comp, bm]
     if has_pal:
         ins += [palw, pal16]
 
     ray_spec = pl.BlockSpec((1, block_rows, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    cand_spec = pl.BlockSpec((1, v, block_rows, 128),
-                             lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
 
     def full(x):
         nd = x.ndim
@@ -1149,7 +1131,6 @@ def traverse_pallas(grids_flat, gridsize, inv, fwd, cube_min, o, d, t_limit,
 
     out_dts = [I32, F32, I32, I32, F32, F32, F32]
     in_specs = ([ray_spec] * 8
-                + ([] if incand else [cand_spec] * 2)
                 + [full(vtab), full(slot), full(comp), full(bm)])
     if has_pal:
         in_specs += [full(palw), full(pal16)]

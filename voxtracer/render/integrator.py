@@ -195,23 +195,6 @@ def _topk(scene: SceneData) -> int:
     return v if v <= 2 else (2 if v <= 8 else 4)
 
 
-def _tlas_candidates(scene: SceneData, o3, d3):
-    """Per-ray possibly-hit instance mask [V, N] from the TLAS BVH walk
-    (kernels/tlas.py) — the reference's dormant BasicBVH (renderer.h:220)
-    queried for real.  Opt-in via cfg.use_tlas_bvh: on this chip the dense
-    per-ray slab test + entry sort beats the lockstep BVH walk below ~100
-    instances (PERF_NOTES.md), so the default stays dense; results are
-    bit-identical either way (tests/test_tlas.py)."""
-    v = scene.volumes
-    if v.tlas_nmin is None:
-        return None
-    from voxtracer.kernels.tlas import bvh_candidates
-
-    return bvh_candidates(v.tlas_nmin, v.tlas_nmax, v.tlas_left,
-                          v.tlas_first, v.tlas_count, v.tlas_order,
-                          o3, d3, v.n)
-
-
 def _use_pallas(scene: SceneData) -> bool:
     """Route traversal through the Pallas VMEM kernel on TPU (measured
     13-20x vs the XLA path, scripts/bench_traversal.py); the XLA kernels
@@ -240,7 +223,7 @@ def _pages(scene: SceneData):
 
 
 def _paged_traverse(scene: SceneData, o3, d3, t_limit, active, vol_enabled,
-                    cand, mode, **kw):
+                    mode, **kw):
     """Run traverse_pallas one volume-page at a time and min-merge.
 
     Pages preserve volume order, so merging with a strict `t <` keeps the
@@ -286,8 +269,7 @@ def _paged_traverse(scene: SceneData, o3, d3, t_limit, active, vol_enabled,
         act_p = active & (pmin < lim)
         res = traverse_pallas(
             *_vol_args(psc), o3, d3, lim, act_p, vol_enabled[off:off + pn],
-            **_pallas_occ_args(psc), mode=mode,
-            cand_mask=None if cand is None else cand[off:off + pn], **kw)
+            **_pallas_occ_args(psc), mode=mode, **kw)
         if mode != "occluded":
             res["vol"] = jnp.where(res["hit"], res["vol"] + off, res["vol"])
         if best is None:
@@ -308,8 +290,7 @@ def _paged_traverse(scene: SceneData, o3, d3, t_limit, active, vol_enabled,
 
 
 def find_nearest_world(scene: SceneData, o, d, active,
-                       skip_lo=1, skip_hi=0, skip_first=False,
-                       use_tlas=False):
+                       skip_lo=1, skip_hi=0, skip_first=False):
     """Renderer::FindNearest (renderer.cpp:946-1018) — all instances in ONE
     fused wavefront loop, then spheres/triangles merged.
     o, d: [N, 3] or component tuples.  Returns dict with t, mat, vol, hit,
@@ -325,24 +306,21 @@ def find_nearest_world(scene: SceneData, o, d, active,
     # kernel only for dynamic material skip ranges (game probes)
     no_skip = (isinstance(skip_lo, int) and isinstance(skip_hi, int)
                and skip_lo > skip_hi)
-    cand = _tlas_candidates(scene, o3, d3) if use_tlas else None
     if no_skip and _use_pallas(scene):
         from voxtracer.kernels.pallas_dda import traverse_pallas
 
         if _pages(scene) is not None:
             res = _paged_traverse(scene, o3, d3, jnp.full(n, BIG, F32),
-                                  active, vol_enabled, cand, "nearest")
+                                  active, vol_enabled, "nearest")
         else:
             res = traverse_pallas(*_vol_args(scene), o3, d3,
                                   jnp.full(n, BIG, F32), active, vol_enabled,
-                                  **_pallas_occ_args(scene), mode="nearest",
-                                  cand_mask=cand)
+                                  **_pallas_occ_args(scene), mode="nearest")
     elif no_skip:
         res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3,
                                         jnp.full(n, BIG, F32), active,
                                         vol_enabled, **_occ_args(scene),
-                                        mode="nearest", k=_topk(scene),
-                                        cand_mask=cand)
+                                        mode="nearest", k=_topk(scene))
     else:
         res = dda.traverse(*_vol_args(scene), o3, d3, jnp.full(n, BIG, F32),
                            active, vol_enabled, jnp.int32(skip_lo),
@@ -376,30 +354,28 @@ def find_nearest_world(scene: SceneData, o, d, active,
     return out
 
 
-def is_occluded_world(scene: SceneData, o, d, t_limit, active,
-                      use_tlas=False):
+def is_occluded_world(scene: SceneData, o, d, t_limit, active):
     """Renderer::IsOccluded (renderer.cpp:209-243) — one fused pass."""
     o3 = o if not isinstance(o, tuple) else cstack(o)
     d3 = d if not isinstance(d, tuple) else cstack(d)
-    cand = _tlas_candidates(scene, o3, d3) if use_tlas else None
     if _use_pallas(scene):
         from voxtracer.kernels.pallas_dda import traverse_pallas
 
         if _pages(scene) is not None:
             res = _paged_traverse(scene, o3, d3, t_limit, active,
-                                  jnp.ones(scene.volumes.n, bool), cand,
+                                  jnp.ones(scene.volumes.n, bool),
                                   "occluded")
         else:
             res = traverse_pallas(*_vol_args(scene), o3, d3, t_limit, active,
                                   jnp.ones(scene.volumes.n, bool),
-                                  **_pallas_occ_args(scene), mode="occluded",
-                                  cand_mask=cand)
+                                  **_pallas_occ_args(scene),
+                                  mode="occluded")
     else:
         res = dda_occ.traverse_occ_topk(*_vol_args(scene), o3, d3, t_limit,
                                         active,
                                         jnp.ones(scene.volumes.n, bool),
                                         **_occ_args(scene), mode="occluded",
-                                        k=_topk(scene), cand_mask=cand)
+                                        k=_topk(scene))
     occ = res["hit"]
     occ = occ | spheres_occluded(scene.spheres, o3, d3, t_limit)
     occ = occ | triangles_occluded(scene.triangles, o3, d3, t_limit)
@@ -550,8 +526,7 @@ def _det_illumination(scene: SceneData, cfg: RenderConfig, p, nrm, alb,
                   for c in range(3))
     t_all = jnp.concatenate([s[1] for s in segs])
     need_all = jnp.concatenate([s[2] for s in segs])
-    occ_all = is_occluded_world(scene, o_all, d_all, t_all, need_all,
-                                use_tlas=cfg.use_tlas_bvh)
+    occ_all = is_occluded_world(scene, o_all, d_all, t_all, need_all)
     lits = [segs[k][2] & ~occ_all[k * nrays:(k + 1) * nrays]
             for k in range(nseg)]
 
@@ -681,8 +656,7 @@ def illumination(scene: SceneData, cfg: RenderConfig, p, nrm, mat, active, key,
 
     origin = coffset(p, nrm)
     need = active & gate
-    occ = is_occluded_world(scene, origin, dirn, shadow_t, need,
-                            use_tlas=cfg.use_tlas_bvh)
+    occ = is_occluded_world(scene, origin, dirn, shadow_t, need)
     lit = need & ~occ
     acc = cwhere(lit, cadd(acc, cmul(intensity, alb)), acc)
     return cscale(float(total), acc)
@@ -699,8 +673,7 @@ def _bounce_core(scene: SceneData, cfg: RenderConfig, st, bkey):
     n = st["o"][0].shape[0]
     one3 = (jnp.ones(n, F32),) * 3
     o, d, active = st["o"], st["d"], st["active"]
-    rec = find_nearest_world(scene, o, d, active,
-                             use_tlas=cfg.use_tlas_bvh)
+    rec = find_nearest_world(scene, o, d, active)
     t, mat, vol = rec["t"], rec["mat"], rec["vol"]
     nrm = (rec["nx"], rec["ny"], rec["nz"])
     in_glass = jnp.where(rec["prim_adopt"], rec["prim_inside"],
@@ -942,7 +915,7 @@ def _unpack_path(pk):
 
 def _world_bounds(scene: SceneData):
     """World AABB over all instances: the 8 object-cube corners of every
-    volume pushed through fwd (tlas.instance_world_aabbs, traced)."""
+    volume pushed through fwd (instances.instance_world_aabbs, traced)."""
     vols = scene.volumes
     cb = vols.cube_min  # [V, 3]
     lo = None
@@ -1005,8 +978,13 @@ def _trace_path_reordered(scene: SceneData, cfg: RenderConfig, state, key,
             k_srt, perm = jax.lax.sort((morton_key(pk), iota), num_keys=1)
             return jnp.take(pk, perm, axis=0)
 
-        # bounce 0 keeps the camera tile order (already coherent)
-        pk = jax.lax.cond(depth > 0, reorder, lambda x: x, pk)
+        # bounce 0 keeps the camera tile order (already coherent); later
+        # bounces re-sort every cfg.bounce_reorder_period-th bounce (the
+        # [n,22] permute is the dominant cost and origin clusters decay
+        # slowly, so period 2 keeps most of the win at half the tax)
+        per = max(cfg.bounce_reorder_period, 1)
+        pk = jax.lax.cond((depth > 0) & (((depth - 1) % per) == 0),
+                          reorder, lambda x: x, pk)
         st, pix = _unpack_path(pk)
         st = _bounce_core(scene, cfg, st, jax.random.fold_in(key, depth))
         return _pack_path(st, pix), depth + 1
@@ -1105,8 +1083,7 @@ def trace_whitted(scene: SceneData, cfg: RenderConfig, o, d, depth: int,
     if depth < 0:
         return jnp.zeros((n, 3), F32)
 
-    hitrec = find_nearest_world(scene, o, d, active,
-                                use_tlas=cfg.use_tlas_bvh)
+    hitrec = find_nearest_world(scene, o, d, active)
     t, mat, nrm, vol = hitrec["t"], hitrec["mat"], hitrec["normal"], hitrec["vol"]
     in_glass = jnp.where(hitrec["prim_adopt"], hitrec["prim_inside"], in_glass)
     sky = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
@@ -1259,8 +1236,7 @@ def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
         to = cstack(toc)
         td = cstack(tdc)
 
-        rec = find_nearest_world(scene, to, td, live,
-                                 use_tlas=cfg.use_tlas_bvh)
+        rec = find_nearest_world(scene, to, td, live)
         t, mat, vol = rec["t"], rec["mat"], rec["vol"]
         nrm = (rec["nx"], rec["ny"], rec["nz"])
         in_glass = jnp.where(rec["prim_adopt"], rec["prim_inside"], in_glass)
@@ -1443,8 +1419,7 @@ def _sample_pixels(scene: SceneData, cfg: RenderConfig, key, px, py,
     o, d = primary_rays(scene.camera, cfg.width, cfg.height, px, py, lens, jnp)
 
     if cfg.mode == "primary":
-        rec = find_nearest_world(scene, o, d, jnp.ones(n, bool),
-                                 use_tlas=cfg.use_tlas_bvh)
+        rec = find_nearest_world(scene, o, d, jnp.ones(n, bool))
         sky = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
         rad = jnp.where(rec["hit"][:, None], _albedo(scene, rec["mat"]), sky)
         return (rad, dict(in_light=jnp.zeros(n, bool))) if return_aux else rad

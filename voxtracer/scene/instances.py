@@ -174,17 +174,7 @@ def build_volumes(specs: list[VolumeSpec], pad_size: int | None = None) -> VoxVo
         bricksize=bricksize,
         occ=build_occupancy(grids),
     )
-    # instance TLAS over world AABBs (host build, device traversal)
-    from voxtracer.scene.tlas import build_tlas, instance_world_aabbs
-
-    lo, hi = instance_world_aabbs(vols)
-    bvh = build_tlas(lo, hi)
-
-    vols = compact_tables(vols)
-    return vols.replace(
-        tlas_nmin=bvh["nmin"], tlas_nmax=bvh["nmax"], tlas_left=bvh["left"],
-        tlas_first=bvh["first"], tlas_count=bvh["count"],
-        tlas_order=bvh["order"].astype(np.int32))
+    return compact_tables(vols)
 
 
 def compact_tables(vols: VoxVolumes) -> VoxVolumes:
@@ -210,6 +200,24 @@ def compact_tables(vols: VoxVolumes) -> VoxVolumes:
         occ_rows0=rows0)
 
 
+def instance_world_aabbs(volumes: VoxVolumes):
+    """World-space AABB per instance: the 8 object-space cube corners
+    [cube_min, cube_min+1] pushed through the fwd transform."""
+    v = volumes.n
+    lo = np.zeros((v, 3), np.float32)
+    hi = np.zeros((v, 3), np.float32)
+    for i in range(v):
+        b0 = np.asarray(volumes.cube_min[i], np.float32)
+        corners = np.array([[b0[0] + x, b0[1] + y, b0[2] + z]
+                            for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+                           np.float32)
+        m = np.asarray(volumes.fwd[i], np.float32)
+        world = corners @ m[:3, :3].T + m[:3, 3]
+        lo[i] = world.min(axis=0)
+        hi[i] = world.max(axis=0)
+    return lo, hi
+
+
 def paginate_volumes(vols: VoxVolumes, page: int = 24) -> VoxVolumes:
     """Split a large instance set into pages of <= `page` volumes, each
     with its own (short) compacted descend tables, stored on
@@ -231,8 +239,6 @@ def paginate_volumes(vols: VoxVolumes, page: int = 24) -> VoxVolumes:
     v = vols.n
     if v <= page:
         return vols
-    from voxtracer.scene.tlas import instance_world_aabbs
-
     lo_w, hi_w = instance_world_aabbs(vols)
     ctr = (lo_w + hi_w) * 0.5
     cmin = ctr.min(axis=0)
@@ -253,17 +259,8 @@ def paginate_volumes(vols: VoxVolumes, page: int = 24) -> VoxVolumes:
         bricksize=np.asarray(vols.bricksize)[perm],
         occ=np.asarray(vols.occ)[:, perm],
     )
-    # the compacted descend tables and the TLAS were built in the old
-    # order — rebuild both for the permuted parent
+    # the compacted descend tables were built in the old order — rebuild
     vols = compact_tables(vols)
-    from voxtracer.scene.tlas import build_tlas
-
-    lo_w, hi_w = instance_world_aabbs(vols)
-    bvh = build_tlas(lo_w, hi_w)
-    vols = vols.replace(
-        tlas_nmin=bvh["nmin"], tlas_nmax=bvh["nmax"], tlas_left=bvh["left"],
-        tlas_first=bvh["first"], tlas_count=bvh["count"],
-        tlas_order=bvh["order"].astype(np.int32))
     pages = []
     sizes = []
     for lo in range(0, v, page):
