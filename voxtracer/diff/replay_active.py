@@ -176,10 +176,16 @@ def _build_march(scene, cfg, o, d, t_lo, t_hi, mask_np, kind,
     return march
 
 
-def _march_taus(params: DiffParams, scene: SceneData, march,
+def _march_taus(params: DiffParams, scene: SceneData, spec, arr,
                 density_scale: float, dens_flat, cell_tab, bsig):
     """Phase-2 march: per-(bin) core span samples + brick-granular
-    lead/tail -> tau per segment, delivered to [n_lanes] via inv_map."""
+    lead/tail -> tau per segment, delivered to [n_lanes] via inv_map.
+    spec = static structure (bins/m/kind), arr = the device segment
+    arrays — split so the arrays ride the jit SIGNATURE instead of being
+    baked into the program as constants (a 1080p precompute embedded
+    ~hundreds of MB of literals and the tunnel compiler rejected the
+    request with HTTP 413)."""
+    march = {**spec, **arr}
     if march["m"] == 0:
         return jnp.zeros(march["n_lanes"], F32)
     vols = scene.volumes
@@ -408,8 +414,34 @@ def replay_precompute(scene: SceneData, cfg, key, rows: int = 0,
 # Phase 2 — per-step differentiable assembly
 # --------------------------------------------------------------------------
 
-def render_replay_active(params: DiffParams, scene: SceneData, cfg, pre,
-                         density_scale: float = 64.0):
+def split_pre(pre):
+    """pre -> (spec, arrs): static structure vs device arrays, so phase-2
+    jits take the arrays as ARGUMENTS (see _march_taus docstring)."""
+    ak = ("o", "d", "t_lo", "t_hi", "s0", "s1", "inv_map")
+
+    def sm(m):
+        return ({k: v for k, v in m.items() if k not in ak},
+                {k: m[k] for k in ak if k in m})
+
+    spec_m, arr_m = {}, {}
+    for nm, m in pre["marches"].items():
+        spec_m[nm], arr_m[nm] = sm(m)
+    spec_lm, arr_lm = {}, {}
+    for nm, lst in pre["light_marches"].items():
+        pairs = [sm(m) for m in lst]
+        spec_lm[nm] = [q[0] for q in pairs]
+        arr_lm[nm] = [q[1] for q in pairs]
+    lane_keys = ("hit", "m0", "bounce", "bounce2", "shade0", "m1", "hit1",
+                 "sky1", "m2", "hit2", "sky2", "bg")
+    arrs = dict(marches=arr_m, lm=arr_lm, lr=pre["light_rads"],
+                lanes={k: pre[k] for k in lane_keys})
+    spec = dict(n=pre["n"], n_c=pre["n_c"], n_hit=pre["n_hit"],
+                media_lanes=pre["media_lanes"], marches=spec_m, lm=spec_lm)
+    return spec, arrs
+
+
+def render_replay_active(params: DiffParams, scene: SceneData, cfg, spec,
+                         arrs, density_scale: float = 64.0):
     """Radiance for the compacted hit lanes [n_c, 3] from precomputed
     frozen geometry (replay_precompute).  Differentiable in params only —
     the 2-bounce diffuse/metal replay estimator (media-class primary
@@ -422,67 +454,78 @@ def render_replay_active(params: DiffParams, scene: SceneData, cfg, pre,
     bsig = _brick_mean_sigma(params, scene, density_scale)
     alb_tab = params.albedo_table
 
-    def taus(m):
-        return _march_taus(params, scene, m, density_scale, dens_flat,
+    lanes = arrs["lanes"]
+
+    def taus(sp, ar):
+        return _march_taus(params, scene, sp, ar, density_scale, dens_flat,
                            cell_tab, bsig)
 
     def direct(name):
-        acc = jnp.zeros((pre["n_c"], 3), F32)
-        for lm, (rad, gate) in zip(pre["light_marches"][name],
-                                   pre["light_rads"][name]):
-            vs = jnp.where(gate, jnp.exp(-taus(lm)), 0.0)
+        acc = jnp.zeros((spec["n_c"], 3), F32)
+        for sp, ar, (rad, gate) in zip(spec["lm"][name],
+                                       arrs["lm"][name],
+                                       arrs["lr"][name]):
+            vs = jnp.where(gate, jnp.exp(-taus(sp, ar)), 0.0)
             acc = acc + vs[:, None] * rad
         return acc
 
-    tau0 = taus(pre["marches"]["tau0"])
+    tau0 = taus(spec["marches"]["tau0"], arrs["marches"]["tau0"])
     w0 = 1.0 - jnp.exp(-tau0)
-    alb0 = _rows(alb_tab, jnp.clip(pre["m0"], 0, 255))
+    alb0 = _rows(alb_tab, jnp.clip(lanes["m0"], 0, 255))
     e0 = direct("e0")
     # render_diff_replay shades direct0 = alb0·E0 at every non-media hit
-    direct0 = jnp.where(pre["shade0"][:, None], alb0 * e0, 0.0)
+    direct0 = jnp.where(lanes["shade0"][:, None], alb0 * e0, 0.0)
 
-    v01 = jnp.exp(-taus(pre["marches"]["tau01"]))
-    v12 = jnp.exp(-taus(pre["marches"]["tau12"]))
-    alb1 = _rows(alb_tab, jnp.clip(pre["m1"], 0, 255))
-    alb2 = _rows(alb_tab, jnp.clip(pre["m2"], 0, 255))
+    v01 = jnp.exp(-taus(spec["marches"]["tau01"],
+                        arrs["marches"]["tau01"]))
+    v12 = jnp.exp(-taus(spec["marches"]["tau12"],
+                        arrs["marches"]["tau12"]))
+    alb1 = _rows(alb_tab, jnp.clip(lanes["m1"], 0, 255))
+    alb2 = _rows(alb_tab, jnp.clip(lanes["m2"], 0, 255))
     e1 = direct("e1")
     e2 = direct("e2")
-    l2 = jnp.where(pre["hit2"][:, None], alb2 * e2, pre["sky2"])
+    l2 = jnp.where(lanes["hit2"][:, None], alb2 * e2, lanes["sky2"])
     rad2 = v12[:, None] * l2
-    l1 = jnp.where(pre["hit1"][:, None],
-                   alb1 * (e1 + jnp.where(pre["bounce2"][:, None], rad2,
+    l1 = jnp.where(lanes["hit1"][:, None],
+                   alb1 * (e1 + jnp.where(lanes["bounce2"][:, None], rad2,
                                           0.0)),
-                   pre["sky1"])
-    bounce_rad = jnp.where(pre["bounce"][:, None],
+                   lanes["sky1"])
+    bounce_rad = jnp.where(lanes["bounce"][:, None],
                            alb0 * v01[:, None] * l1, 0.0)
 
     lsurf = direct0 + bounce_rad
-    img = jnp.where(pre["hit"][:, None],
-                    w0[:, None] * lsurf + (1.0 - w0)[:, None] * pre["bg"],
-                    pre["bg"])
+    img = jnp.where(lanes["hit"][:, None],
+                    w0[:, None] * lsurf + (1.0 - w0)[:, None] * lanes["bg"],
+                    lanes["bg"])
     return img
 
 
-def mse_loss_replay_active(params: DiffParams, scene: SceneData, cfg, pre,
-                           target_active, denom: float,
+def mse_loss_replay_active(params: DiffParams, scene: SceneData, cfg, spec,
+                           arrs, target_active, denom: float,
                            density_scale: float = 64.0):
     """Sum of squared error over the compacted hit lanes / denom — with
     denom = the full-frame pixel-element count this has exactly the
     full-image MSE gradient (non-hit pixels render the frozen bg)."""
-    img = render_replay_active(params, scene, cfg, pre, density_scale)
+    img = render_replay_active(params, scene, cfg, spec, arrs,
+                               density_scale)
     err = jnp.sum((img - target_active) ** 2, axis=-1)
-    err = jnp.where(jnp.arange(pre["n_c"]) < pre["n_hit"], err, 0.0)
+    err = jnp.where(jnp.arange(spec["n_c"]) < spec["n_hit"], err, 0.0)
     return jnp.sum(err) / denom
 
 
 def make_replay_grad_fn(scene: SceneData, cfg, pre, target_active,
                         denom: float, density_scale: float = 64.0):
-    """Jitted params -> grads closure.  `pre` carries static structure
-    (bin tables, segment counts), so it rides the closure rather than the
-    jit signature; its device arrays become compile-time constants of the
-    one training-step executable."""
-    def loss(params):
-        return mse_loss_replay_active(params, scene, cfg, pre,
-                                      target_active, denom, density_scale)
+    """Jitted params -> grads closure.  `pre` splits into static
+    structure (closed over) and device arrays (jit ARGUMENTS, partially
+    applied here) — embedding them as constants blew the tunnel
+    compiler's request-size limit at 1080p."""
+    spec, arrs = split_pre(pre)
 
-    return jax.jit(jax.grad(loss)), jax.jit(loss)
+    def loss(params, arrs_, tgt):
+        return mse_loss_replay_active(params, scene, cfg, spec, arrs_,
+                                      tgt, denom, density_scale)
+
+    gjit = jax.jit(jax.grad(loss))
+    ljit = jax.jit(loss)
+    return (lambda params: gjit(params, arrs, target_active),
+            lambda params: ljit(params, arrs, target_active))
