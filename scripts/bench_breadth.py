@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPS = int(os.environ.get("BENCH_REPS", 3))
-OUT = os.environ.get("BENCH_BREADTH_OUT", "BENCH_BREADTH_r04.json")
+OUT = os.environ.get("BENCH_BREADTH_OUT", "BENCH_BREADTH_r05.json")
 
 
 def log(*a):
@@ -29,7 +29,47 @@ CONFIGS = {
     "roomglass": lambda p: p.room_whitted(glass=True),
     "city": lambda p: p.city_path(),                 # 17 vols, 1080p path
     "cityxl": lambda p: p.city_xl_path(),            # 111 vols, paged Pallas
+    "reproject": None,  # special-cased below: static-camera temporal mode
 }
+
+
+def _bench_reproject(jax, jnp, np, presets, log):
+    """Static-camera temporal-reuse frame loop (renderer.cpp:1997-2101 is
+    the reference's cheap-frame mode): per-frame time INCLUDING the
+    history-buffer round trip (history stays device-side; each frame is
+    one dispatch + a scalar pull)."""
+    import dataclasses
+    import time as _t
+
+    from voxtracer.render.reproject import render_reproject_frame_jit
+
+    scene, cfg = presets.monu_path(width=1920, height=1080, gridsize=64,
+                                   which=(1, 2, 3), bounces=4)
+    cfg = dataclasses.replace(cfg, mode="reproject")
+    scene = jax.tree.map(jnp.asarray, scene)
+    key = jax.random.PRNGKey(0)
+    h = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+    img, h, _ = render_reproject_frame_jit(scene, cfg, scene.camera, h, key)
+    np.asarray(jnp.mean(img))  # compile + warm (frame 0 fills history)
+    ts = []
+    for i in range(1, 1 + REPS * 2):
+        t0 = _t.time()
+        img, h, _ = render_reproject_frame_jit(
+            scene, cfg, scene.camera, h, jax.random.fold_in(key, i))
+        np.asarray(jnp.mean(img))
+        ts.append(_t.time() - t0)
+    sec = float(np.median(ts))
+    rec = {
+        "config": "reproject",
+        "mode": "reproject",
+        "resolution": "1920x1080",
+        "volumes": int(scene.volumes.n),
+        "paged": False,
+        "frame_ms": round(sec * 1e3, 1),
+        "mrays_s": round(cfg.width * cfg.height / sec / 1e6, 3),
+    }
+    log(json.dumps(rec))
+    return rec
 
 
 def main():
@@ -53,6 +93,12 @@ def main():
     results = []
     for name in names:
       try:
+          if name == "reproject":
+              rec = _bench_reproject(jax, jnp, np, presets, log)
+              results.append(rec)
+              with open(OUT, "a") as f:
+                  f.write(json.dumps(rec) + "\n")
+              continue
           scene, cfg = CONFIGS[name](presets)
           scene = jax.tree.map(jnp.asarray, scene)
           key = jax.random.PRNGKey(0)

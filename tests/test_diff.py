@@ -327,3 +327,23 @@ def test_bench_binned_settings_psnr_guard():
     cos = float(np.dot(a, r)
                 / (np.linalg.norm(a) * np.linalg.norm(r) + 1e-30))
     assert cos >= 0.93, f"binned density-grad cosine {cos:.4f} < 0.93"
+
+
+@pytest.mark.slow
+def test_grad_parity_artifact_recorded():
+    """The bench-scale gradient-parity artifact (VERDICT r4 item 7,
+    scripts/grad_parity_artifact.py, 256x144 monu on the TPU) must be
+    present and hold its bars: fast-bin vs reference cosine, reference
+    self-convergence, and directional FD agreement."""
+    import json
+    import pathlib
+
+    path = (pathlib.Path(__file__).parent.parent / "artifacts"
+            / "GRAD_PARITY_r05.json")
+    assert path.exists(), "run scripts/grad_parity_artifact.py on the TPU"
+    rec = json.loads(path.read_text())
+    assert rec["cosine_fastbin_vs_reference"] >= 0.95
+    assert rec["cosine_reference_vs_2x"] >= 0.99
+    assert rec["directional_fd_checks"], "no directional FD rows"
+    for row in rec["directional_fd_checks"]:
+        assert row["rel_err"] <= 0.25, row

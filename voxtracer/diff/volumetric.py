@@ -94,8 +94,15 @@ def _rows_fwd(table, idx):
 
 def _rows_bwd(res, ct):
     idx, t = res
-    oh = (idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]).astype(ct.dtype)
-    return jnp.dot(oh.T, ct, preferred_element_type=ct.dtype), None
+    # bf16 one-hot + cotangent with f32 MXU accumulation: the one-hot is
+    # exact in bf16 (0/1) and the [rows, 256] materialization halves its
+    # HBM traffic (round-4 trace: ~15 ms of the 149 ms backward); ct
+    # rounds to ~0.4% relative — table-gradient noise well under the FD
+    # test tolerances, and the density-gradient cosine guard is untouched
+    oh = (idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]).astype(
+        jnp.bfloat16)
+    return jnp.dot(oh.T, ct.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32).astype(ct.dtype), None
 
 
 _rows.defvjp(_rows_fwd, _rows_bwd)
@@ -120,10 +127,12 @@ def _bsig_rows_bwd(res, ct):
     idx, t = res
     if _ABLATE_BSIG_ADJ:
         return jnp.zeros((t,), ct.dtype) + jnp.sum(ct) * 0.0, None
+    # bf16 one-hot, f32 accumulate (see _rows_bwd)
     oh = (idx[:, None] == jnp.arange(t, dtype=idx.dtype)[None, :]).astype(
-        ct.dtype)
-    return jnp.dot(oh.T, ct[:, None],
-                   preferred_element_type=ct.dtype)[:, 0], None
+        jnp.bfloat16)
+    return jnp.dot(oh.T, ct[:, None].astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)[:, 0].astype(
+        ct.dtype), None
 
 
 _bsig_rows.defvjp(_bsig_rows_fwd, _bsig_rows_bwd)
@@ -494,7 +503,8 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
                                    "clamp"))
 def render_diff_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
                        n_steps: int, density_scale: float = 512.0,
-                       k: int = 0, span_steps: int = 0, clamp: bool = True):
+                       k: int = 0, span_steps: int = 0, clamp: bool = True,
+                       spans=None):
     """Compacted-ray differentiable render -> radiance [N, 3].
 
     The training-loop form of render_diff: o/d are the PRE-compacted
@@ -506,14 +516,15 @@ def render_diff_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
     image is a DISPLAY product, not a gradient dependency: every excluded
     pixel contributes a parameter-free constant to the loss)."""
     color, t_total, valid = _march_color(params, scene, cfg, o, d, n_steps,
-                                         density_scale, k, span_steps, clamp)
+                                         density_scale, k, span_steps, clamp,
+                                         spans=spans)
     img = color + t_total[:, None] * bg
     return jnp.where(valid[:, None], img, bg)
 
 
 def _march_color(params: DiffParams, scene: SceneData, cfg, o, d,
                  n_steps: int, density_scale: float, k: int,
-                 span_steps: int, clamp: bool):
+                 span_steps: int, clamp: bool, spans=None):
     """The relaxed march over given rays -> (color [N,3], t_total [N],
     valid [N]).  See render_diff for the estimator documentation."""
     n = o.shape[0]
@@ -558,6 +569,12 @@ def _march_color(params: DiffParams, scene: SceneData, cfg, o, d,
         if _ABLATE_SPANS:
             s0_all = jnp.where(hit, t0, BIG)
             s1_all = jnp.where(hit, t1, -BIG)
+        elif spans is not None:
+            # PRECOMPUTED [V, N] occupied spans: they derive from the
+            # static occupancy + the (loop-invariant) compacted rays, so
+            # training steps hoist the slab pass out of the grad
+            # (bench.py; same hoist replay_active does)
+            s0_all, s1_all = spans
         else:
             s0_all, s1_all = _occupied_spans(scene, vox, voy, voz, vdx, vdy,
                                              vdz)
@@ -863,7 +880,7 @@ def _march_color(params: DiffParams, scene: SceneData, cfg, o, d,
 def mse_loss_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
                     target_active, denom: float, n_steps: int,
                     k: int = 0, span_steps: int = 0, clamp: bool = True,
-                    n_active: int = 0):
+                    n_active: int = 0, spans=None):
     """Sum of squared errors over the active rays / denom.
 
     With denom = full-band pixel-element count this has EXACTLY the
@@ -877,11 +894,22 @@ def mse_loss_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
     active in another bin — without the mask their gradient would be
     double-counted across bins (ADVICE r4)."""
     img = render_diff_active(params, scene, cfg, o, d, bg, n_steps,
-                             k=k, span_steps=span_steps, clamp=clamp)
+                             k=k, span_steps=span_steps, clamp=clamp,
+                             spans=spans)
     err = jnp.sum((img - target_active) ** 2, axis=-1)
     if n_active and n_active < o.shape[0]:
         err = jnp.where(jnp.arange(o.shape[0]) < n_active, err, 0.0)
     return jnp.sum(err) / denom
+
+
+def spans_for_rays(scene: SceneData, o, d):
+    """Occupied-brick spans [V, N] (s0, s1) for arbitrary world rays —
+    the precomputable input of render_diff_active(spans=...)."""
+    inv = scene.volumes.inv
+    vo = jnp.einsum("vij,nj->vni", inv[:, :3, :3], o) + inv[:, None, :3, 3]
+    vd = jnp.einsum("vij,nj->vni", inv[:, :3, :3], d)
+    return _occupied_spans(scene, vo[:, :, 0], vo[:, :, 1], vo[:, :, 2],
+                           vd[:, :, 0], vd[:, :, 1], vd[:, :, 2])
 
 
 def mse_loss(params: DiffParams, scene: SceneData, cfg, target, key,
