@@ -48,7 +48,7 @@ def _bench_reproject(jax, jnp, np, presets, log):
     cfg = dataclasses.replace(cfg, mode="reproject")
     scene = jax.tree.map(jnp.asarray, scene)
     key = jax.random.PRNGKey(0)
-    h = jnp.zeros((cfg.height, cfg.width, 4), jnp.float32)
+    h = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     img, h, _ = render_reproject_frame_jit(scene, cfg, scene.camera, h, key)
     np.asarray(jnp.mean(img))  # compile + warm (frame 0 fills history)
     ts = []
