@@ -51,6 +51,7 @@ from voxtracer.render.integrator import (
     is_occluded_world,
     material_exit_world,
 )
+from voxtracer.kernels.lookup import lookup_rows
 from voxtracer.render.sky import sample_sky
 from voxtracer.render.tonemap import tonemap
 
@@ -101,6 +102,8 @@ def trace_reproject(scene: SceneData, cfg: RenderConfig, o, d, key):
         n0=jnp.zeros((n, 3), F32),
         t0=jnp.zeros(n, F32),
         m0=jnp.full(n, MAT_NONE, jnp.int32),
+        sky_tp=jnp.zeros((n, 3), F32),
+        sky_d=d,
     )
 
     def bounce(carry):
@@ -112,9 +115,17 @@ def trace_reproject(scene: SceneData, cfg: RenderConfig, o, d, key):
         t, mat, nrm, vol = rec["t"], rec["mat"], rec["normal"], rec["vol"]
         in_glass = jnp.where(rec["prim_adopt"], rec["prim_inside"], st["in_glass"])
 
-        alb = _albedo(scene, mat)
-        emis = jnp.take(scene.materials.emissive, mat)
-        ior = jnp.take(scene.materials.ior, mat)
+        # one [256, 6] row lookup served from VMEM instead of four
+        # 2M-row HBM takes (~13 ms each at 1080p — the round-4 frame
+        # lesson trace_path already applies)
+        mtab = jnp.concatenate(
+            [scene.materials.albedo,
+             scene.materials.roughness[:, None],
+             scene.materials.emissive[:, None],
+             scene.materials.ior[:, None]], axis=1)
+        mrow = lookup_rows(mtab, mat)
+        alb = mrow[:, 0:3]
+        rough, emis, ior = mrow[:, 3], mrow[:, 4], mrow[:, 5]
 
         is_metal = (mat >= METAL_HIGH) & (mat <= METAL_LOW)
         is_nonmetal = mat < METAL_HIGH
@@ -127,8 +138,12 @@ def trace_reproject(scene: SceneData, cfg: RenderConfig, o, d, key):
         # medium march (glass/smoke entered rays)
         march = active & in_glass & (is_glass_m | is_smoke) & (vol >= 0)
         mode_code = jnp.where(is_glass_m, dda.EXIT_GLASS, dda.EXIT_SMOKE)
-        in_vol, t_exit, nrm_exit = material_exit_world(scene, o, d, vol,
-                                                       mode_code, march)
+        in_vol, t_exit, nrm_exit = jax.lax.cond(
+            jnp.any(march),
+            lambda a: material_exit_world(scene, *a),
+            lambda a: (jnp.zeros(n, bool), jnp.zeros(n, F32),
+                       (jnp.zeros(n, F32),) * 3),
+            (o, d, vol, mode_code, march))
         t = jnp.where(march, t_exit, t)
         nrm = jnp.where((march & in_vol)[:, None], cstack(nrm_exit), nrm)
         fell = march & ~in_vol
@@ -149,15 +164,18 @@ def trace_reproject(scene: SceneData, cfg: RenderConfig, o, d, key):
         p_hit = o + t[:, None] * d
         smoke_trans = mathx.absorption(alb, intensity, dist, jnp)
 
-        # per-lobe "albedo" factor (the decomposed component)
-        sky = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
+        # per-lobe "albedo" factor (the decomposed component).  The sky
+        # take is DEFERRED to one per-frame texture read: a ray misses at
+        # most once, so (throughput, direction) recorded at the miss
+        # reproduces the per-bounce sum bit-for-value (trace_path's
+        # round-3 lesson); the first-level miss albedo0 resolves
+        # post-loop from the primary directions.
         glass_color = jnp.where(in_glass[:, None], alb, 1.0)
         lobe_albedo = alb
         lobe_albedo = jnp.where(is_glass_m[:, None], glass_color, lobe_albedo)
         lobe_albedo = jnp.where(is_smoke[:, None], smoke_trans, lobe_albedo)
         lobe_albedo = jnp.where(is_emissive[:, None],
                                 alb * emis[:, None], lobe_albedo)
-        lobe_albedo = jnp.where(miss[:, None], sky, lobe_albedo)
 
         # first hit: record G-buffer + pull albedo out of the path product
         albedo0 = jnp.where((first & active)[:, None], lobe_albedo, st["albedo0"])
@@ -170,12 +188,16 @@ def trace_reproject(scene: SceneData, cfg: RenderConfig, o, d, key):
         radiance = st["radiance"]
 
         # terminal lobes: illumination 1 at the first (decomposed) level,
-        # T * lobe_albedo (GetColor) when reached deeper in the path
+        # T * lobe_albedo (GetColor) when reached deeper in the path.
+        # Deep misses defer their tp * sky to the per-frame take.
         term = active & (is_emissive | miss)
         radiance = radiance + jnp.where(
             term[:, None],
-            jnp.where(first, jnp.ones((n, 3), F32), tp * lobe_albedo),
+            jnp.where(first, jnp.ones((n, 3), F32),
+                      jnp.where(miss[:, None], 0.0, tp * lobe_albedo)),
             0.0)
+        sky_tp = jnp.where((miss & ~first)[:, None], tp, st["sky_tp"])
+        sky_d = jnp.where(miss[:, None], d, st["sky_d"])
         active = active & ~term
 
         # NEE for diffuse lobes (nonmetal has NO spec split in reproject
@@ -193,7 +215,6 @@ def trace_reproject(scene: SceneData, cfg: RenderConfig, o, d, key):
         u_sph = jax.random.uniform(jax.random.fold_in(bkey, 3), (n, 3), F32)
         g_hemi = jax.random.normal(jax.random.fold_in(bkey, 4), (n, 3), F32)
         refl = mathx.reflect(d, nrm)
-        rough = jnp.take(scene.materials.roughness, mat)
         spec_dir = refl + rough[:, None] * sphere_sample(u_sph, jnp)
         diff_dir = lambertian_dir(nrm, u_sph, jnp)
         model_dir = uniform_hemisphere_dir(nrm, g_hemi, jnp)
@@ -230,6 +251,7 @@ def trace_reproject(scene: SceneData, cfg: RenderConfig, o, d, key):
             d=jnp.where(active[:, None], new_d, d),
             throughput=tp, radiance=radiance, in_glass=new_in_glass,
             active=active, albedo0=albedo0, p0=p0, n0=n0, t0=t0, m0=m0,
+            sky_tp=sky_tp, sky_d=sky_d,
         )
         return st, depth + 1
 
@@ -238,7 +260,14 @@ def trace_reproject(scene: SceneData, cfg: RenderConfig, o, d, key):
         return (depth < cfg.max_bounces + 1) & jnp.any(st["active"])
 
     st, _ = jax.lax.while_loop(cond, bounce, (state, jnp.int32(0)))
-    return (st["albedo0"], st["radiance"], st["p0"], st["n0"], st["t0"],
+    # the ONE deferred sky take: deep-miss radiance + first-miss albedo0
+    sky_end = sample_sky(scene.sky, st["sky_d"], cfg.activate_sky,
+                         cfg.sky_fallback)
+    radiance = st["radiance"] + st["sky_tp"] * sky_end
+    albedo0 = jnp.where((st["m0"] == MAT_NONE)[:, None],
+                        sample_sky(scene.sky, d, cfg.activate_sky,
+                                   cfg.sky_fallback), st["albedo0"])
+    return (albedo0, radiance, st["p0"], st["n0"], st["t0"],
             st["m0"])
 
 
@@ -360,12 +389,38 @@ def resolve(scene: SceneData, cfg: RenderConfig, prev_camera: Camera,
 def render_reproject_frame(scene: SceneData, cfg: RenderConfig,
                            prev_camera: Camera, history, key):
     """Full static-camera frame: pass 1 + pass 2.
-    Returns (tonemapped image, new history, aux G-buffer dict)."""
+    Returns (tonemapped image, new history, aux G-buffer dict).
+
+    Rays are generated in 8x128-pixel-tile order when cfg.ray_order
+    allows (the same lockstep-tail cut every other frame path gets,
+    PERF_NOTES round-4) and the G-buffer un-tiles with one
+    reshape/transpose per array before the resolve pass."""
     from voxtracer.render.camera import primary_rays
 
-    px, py = _pixel_grid(cfg)
+    h, w = cfg.height, cfg.width
+    tiled = cfg.ray_order == "tile" and w % 128 == 0 and h % 8 == 0
+    if tiled:
+        ntx = w // 128
+        i = jnp.arange(h * w, dtype=jnp.int32)
+        tile, rem = i // (8 * 128), i % (8 * 128)
+        ty, tx = tile // ntx, tile % ntx
+        iy, ix = rem // 128, rem % 128
+        px = (tx * 128 + ix).astype(F32)
+        py = (ty * 8 + iy).astype(F32)
+    else:
+        px, py = _pixel_grid(cfg)
     o, d = primary_rays(scene.camera, cfg.width, cfg.height, px, py, None, jnp)
     albedo, illum, p0, n0, t0, m0 = trace_reproject(scene, cfg, o, d, key)
+    if tiled:
+        def untile(a):
+            c = a.shape[1:] if a.ndim > 1 else ()
+            x = a.reshape(h // 8, ntx, 8, 128, *c)
+            return x.transpose(0, 2, 1, 3, *range(4, 4 + len(c))).reshape(
+                h * w, *c)
+
+        albedo, illum, p0, n0 = (untile(albedo), untile(illum), untile(p0),
+                                 untile(n0))
+        t0, m0 = untile(t0), untile(m0)
     hit_mask = m0 != MAT_NONE
     img, new_hist = resolve(scene, cfg, prev_camera, albedo, illum, p0, m0,
                             hit_mask, history)
