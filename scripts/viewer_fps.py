@@ -7,7 +7,7 @@ components measured separately, because they bound different things:
     tonemap + uint8 pull) — dominated by the ~25 ms dispatch constant;
   * the terminal ANSI half-block assembly (Python string work, no device).
 
-Writes artifacts/VIEWER_FPS_r04.json.
+Writes artifacts/VIEWER_FPS_r05.json.
 """
 
 import io
@@ -72,7 +72,7 @@ def main():
                 "per frame; a local chip would not pay it",
     }
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/VIEWER_FPS_r04.json", "w") as f:
+    with open("artifacts/VIEWER_FPS_r05.json", "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec))
 
