@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Record the scaling artifact (VERDICT item 8) -> SCALING_r04.json.
+"""Record the scaling artifact (VERDICT item 8) -> SCALING_r05.json.
 
 Two curves:
   * simulated-mesh device scaling (8 virtual CPU devices) — validates the
@@ -11,7 +11,7 @@ Two curves:
 
 Run the CPU part:  JAX_PLATFORMS=cpu python scripts/record_scaling.py cpu
 Run the TPU part:  python scripts/record_scaling.py tpu
-Each merges its section into SCALING_r04.json.
+Each merges its section into SCALING_r05.json.
 """
 
 import json
@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "SCALING_r04.json")
+                   "SCALING_r05.json")
 
 
 def merge(section, data):
