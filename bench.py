@@ -112,6 +112,12 @@ def main():
     # marches with a step count matched to its spans.  Per-bin gradients
     # sum exactly to the full-band image-MSE gradient (excluded pixels
     # contribute parameter-free constants).
+    # (2,10) steps at edge 4: every cheaper bin variant that looked fine
+    # on the GLOBAL gradient cosine (0.99 at 256x144) turned out to be
+    # coasting on the floor volume's dominant components — the PER-VOLUME
+    # cosines of the fine monu grids drop from ~0.51 to 0.14-0.41 under
+    # (2,6)@6 and friends (GRAD_PARITY_r05.json records per-volume
+    # alignment; PERF_NOTES round-5 "the cosine that lied").
     bin_steps = tuple(int(s) for s in os.environ.get(
         "BENCH_BIN_STEPS", "2,10").split(","))
     bin_edges = tuple(float(e) for e in os.environ.get(

@@ -48,9 +48,9 @@ def main():
     bins = span_cells_bins(scene, cfg, rows=H, edges=(4.0,))
     key = jax.random.PRNGKey(2)
 
-    def binned_grad(steps_map, span):
+    def binned_grad(steps_map, span, bb=None):
         tot = None
-        for bi, p, ip, na in bins:
+        for bi, p, ip, na in (bb if bb is not None else bins):
             g = jax.grad(mse_loss)(params, scene, cfg, tgt, key,
                                    steps_map[bi], row0=jnp.float32(0),
                                    rows=H, k=kk, span_steps=span,
@@ -70,6 +70,17 @@ def main():
     g_ref2 = binned_grad((96, 96), 4)
     c_fast = cos(g_fast, g_ref)
     c_ref = cos(g_ref, g_ref2)
+    # PER-VOLUME cosines — the metric that exposed round 5's near-miss:
+    # cheaper bin settings held the global cosine at 0.99 (floor-volume
+    # dominance) while the fine monu volumes collapsed to 0.14-0.41
+    gf = np.asarray(g_fast.density_logits)
+    gr = np.asarray(g_ref.density_logits)
+    pervol = []
+    for vi in range(gf.shape[0]):
+        a, r = gf[vi].ravel(), gr[vi].ravel()
+        pervol.append(round(float(
+            np.dot(a, r) / (np.linalg.norm(a) * np.linalg.norm(r)
+                            + 1e-30)), 4))
     print(f"fast-bin vs reference cosine: {c_fast:.4f}", file=sys.stderr)
     print(f"reference vs 2x-refined cosine: {c_ref:.4f}", file=sys.stderr)
 
@@ -158,10 +169,11 @@ def main():
     out = {
         "scene": f"monu {W}x{H} gridsize 64, bounces 4",
         "cosine_fastbin_vs_reference": round(c_fast, 4),
+        "per_volume_cosine_fastbin": pervol,
         "cosine_reference_vs_2x": round(c_ref, 4),
         "fd_checks_at_reference_settings": checks,
         "directional_fd_checks": dir_checks,
-        "fast_settings": "bins (2,10) steps at edge 4 cells, span=1",
+        "fast_settings": "bins (2,10) steps at edge 4 cells, span=1 (the bench setting)",
         "reference_settings": "48 steps, span=4 (2x-refined: 96 steps)",
         "notes": (
             "FD runs in f32 on-device: the SUM loss carries ~1e-2 of "

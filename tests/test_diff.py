@@ -263,14 +263,16 @@ def test_inverse_demo_micro(teapot_small):
 
 @pytest.mark.slow
 def test_bench_binned_settings_psnr_guard():
-    """Quality guard for the BINNED bench march (span-length bins 2/10
-    steps at edge 4 cells, span=1 — bench.py round 4): the combined
-    per-bin image must hold the same PSNR bar as the uniform 12-step
-    march, AND the binned gradient must stay aligned with a
-    48-step/span-4 reference gradient (cosine >= 0.93 — measured 0.942,
-    identical to the old uniform-12 setting), so the adaptive step
-    counts can't silently trade image or GRADIENT quality for the
-    headline number."""
+    """Quality guard for the BINNED bench march (span-length bins 2/6
+    steps at edge 6 cells, span=1 — bench.py round 5): the combined
+    per-bin image must hold the PSNR bar of the uniform 12-step march,
+    AND the binned gradient must stay aligned with a 48-step/span-4
+    reference gradient (global cosine >= 0.93 here; the artifact-lock
+    test additionally asserts PER-VOLUME alignment at bench scale —
+    round 5 measured that cheaper bin settings can hold the GLOBAL
+    cosine at 0.99 while the fine volumes' cosines collapse to 0.14,
+    because the floor volume's large components dominate the dot
+    product: PERF_NOTES round-5 "the cosine that lied")."""
     from voxtracer.diff.volumetric import span_cells_bins
 
     scene, cfg = presets.monu_path(width=96, height=54, gridsize=64,
@@ -342,7 +344,11 @@ def test_grad_parity_artifact_recorded():
             / "GRAD_PARITY_r05.json")
     assert path.exists(), "run scripts/grad_parity_artifact.py on the TPU"
     rec = json.loads(path.read_text())
-    assert rec["cosine_fastbin_vs_reference"] >= 0.95
+    assert rec["cosine_fastbin_vs_reference"] >= 0.97
+    # the guard that actually bites: per-volume alignment (the global
+    # cosine is dominated by the floor volume's large components)
+    for c in rec["per_volume_cosine_fastbin"]:
+        assert c >= 0.45, rec["per_volume_cosine_fastbin"]
     assert rec["cosine_reference_vs_2x"] >= 0.99
     assert rec["directional_fd_checks"], "no directional FD rows"
     for row in rec["directional_fd_checks"]:
