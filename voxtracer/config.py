@@ -80,11 +80,22 @@ class RenderConfig:
     # Pure dispatch order: per-lane estimators are unchanged; stochastic
     # streams reassign which lane draws which sample.
     bounce_reorder: str = "auto"
-    # re-sort every k-th bounce (1 = every bounce).  The sort+permute
-    # costs ~135 ms at 1080p (the [n,22] row permute dominates, not the
-    # sort); origins drift slowly bounce-to-bounce, so clustering decays
-    # gently and a period-2 reorder keeps most of the win at half the tax.
+    # re-sort every k-th bounce (1 = every bounce).  The permute now runs
+    # as chunked <=8-column row gathers (integrator.take_rows: a single
+    # [n,22] take costs 62 ms at 1080p, three <=8-wide takes 10.5 ms —
+    # scripts/probe_sortperm.py); even so, a measured period-1 sweep
+    # LOSES to period 2 (931.9 vs 887.9 ms city-XL r05): origins drift
+    # slowly bounce-to-bounce, so clustering decays gently and the extra
+    # sorts buy less than they cost.
     bounce_reorder_period: int = 2
+    # Whitted queue batch re-clustering: sort each iteration's [W] branch
+    # batch by (live, origin-morton | direction-octant) before traversal.
+    # The queue mixes branch generations after a few pops, which defeats
+    # the lockstep blocks exactly like path bounces do; the batch sort is
+    # ~2 ms against a measured ~170 ms traversal floor (room 512^2).
+    # Changes only per-pixel radiance summation order (adds commute to
+    # rounding).
+    whitted_sort_batch: bool = False
     # Ray dispatch order inside a render band: "scanline" (row-major) or
     # "tile" (8x128-pixel tiles, one per 1024-lane Pallas block).  The
     # Pallas traversal runs each block in lockstep until its slowest lane

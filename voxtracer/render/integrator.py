@@ -887,6 +887,22 @@ def trace_path(scene: SceneData, cfg: RenderConfig, o, d, key,
     return cstack(rad)
 
 
+def take_rows(mat, idx):
+    """Row gather of a [n, C] matrix in <=8-column chunks.
+
+    Measured on-chip (scripts/probe_sortperm.py, chained): a single
+    jnp.take of [2.07M, 22] costs 62 ms (~30 ns/row) while three takes of
+    <=8 columns cost 10.5 ms TOTAL — identical to one 8-wide take, i.e.
+    XLA fuses the chunks into one gather pass and the >8-wide single
+    gather falls off the vectorized path (the 8x128 register tile holds
+    8 sublanes).  Every wide row permute in the hot paths routes here."""
+    if mat.shape[1] <= 8:
+        return jnp.take(mat, idx, axis=0)
+    parts = [jnp.take(mat[:, c:c + 8], idx, axis=0)
+             for c in range(0, mat.shape[1], 8)]
+    return jnp.concatenate(parts, axis=1)
+
+
 def _pack_path(st, pix):
     """Path-wavefront state as ONE [n, 22] f32 matrix (cols: o, d, tp,
     rad, in_glass, active, original ray id — f32-exact for n < 2^24 —
@@ -976,7 +992,7 @@ def _trace_path_reordered(scene: SceneData, cfg: RenderConfig, state, key,
 
         def reorder(pk):
             k_srt, perm = jax.lax.sort((morton_key(pk), iota), num_keys=1)
-            return jnp.take(pk, perm, axis=0)
+            return take_rows(pk, perm)
 
         # bounce 0 keeps the camera tile order (already coherent); later
         # bounces re-sort every cfg.bounce_reorder_period-th bounce (the
@@ -1033,7 +1049,7 @@ def _trace_path_compacted(scene: SceneData, cfg: RenderConfig, state, key,
         pos_dead = c + jnp.cumsum(1 - acti) - 1
         dest = jnp.where(acti == 1, pos_live, pos_dead)  # old -> new, stable
         perm = jnp.zeros(n, jnp.int32).at[dest].set(iota)
-        pk = jnp.take(pk, perm, axis=0)
+        pk = take_rows(pk, perm)
         bkey = jax.random.fold_in(key, depth)
 
         def chunk_cond(cc):
@@ -1222,11 +1238,39 @@ def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
     fr0 = jax.lax.dynamic_update_slice_in_dim(fr0, prim, 0, axis=0)
     img0 = jnp.zeros(3 * n, F32)  # flat channel-interleaved accumulator
 
+    if cfg.whitted_sort_batch:
+        wlo, whi = _world_bounds(scene)
+        wspan = jnp.maximum(whi - wlo, 1e-6)
+
     def body(carry):
         fr, count, img, it = carry
         take = jnp.minimum(count, W)
         batch = fr[:W]
         live = jnp.arange(W, dtype=jnp.int32) < take
+        if cfg.whitted_sort_batch:
+            # re-cluster the batch: queue pops mix branch generations, so
+            # a 1024-lane block holds origins from all over the scene and
+            # the lockstep walk pays the slowest lane (same disease as
+            # path bounces, cfg.bounce_reorder).  One coarse morton sort
+            # of the batch restores block coherence; dead rows sort last,
+            # re-feeding the SMEM dead-block gate.  Radiance adds per
+            # pixel commute; children keep their parent's pixel id.
+            q = []
+            for c in range(3):
+                f = (batch[:, c] - wlo[c]) / wspan[c]
+                q.append(jnp.clip((f * 32.0).astype(jnp.int32), 0, 31))
+            mkey = jnp.zeros(W, jnp.int32)
+            for bit in range(5):
+                for c in range(3):
+                    mkey = mkey | (((q[c] >> bit) & 1) << (3 * bit + c + 3))
+            mkey = mkey | ((batch[:, 3] < 0).astype(jnp.int32)
+                           + 2 * (batch[:, 4] < 0).astype(jnp.int32)
+                           + 4 * (batch[:, 5] < 0).astype(jnp.int32))
+            mkey = jnp.where(live, mkey, jnp.int32(1 << 30))
+            ks, perm = jax.lax.sort(
+                (mkey, jnp.arange(W, dtype=jnp.int32)), num_keys=1)
+            batch = take_rows(batch, perm)
+            live = ks < (1 << 30)
         toc = (batch[:, 0], batch[:, 1], batch[:, 2])
         tdc = (batch[:, 3], batch[:, 4], batch[:, 5])
         w = (batch[:, 6], batch[:, 7], batch[:, 8])
@@ -1367,7 +1411,7 @@ def trace_whitted_iter(scene: SceneData, cfg: RenderConfig, o, d,
         dest_w = jnp.where(valid, dest, 2 * W)
         src = jnp.zeros(2 * W, jnp.int32).at[dest_w].set(
             jnp.arange(2 * W, dtype=jnp.int32), mode="drop")
-        ch_comp = jnp.take(children, src, axis=0)  # [2W, NC] (prefix valid)
+        ch_comp = take_rows(children, src)  # [2W, NC] (prefix valid)
 
         # pop the batch, append the children: remaining queue shifts down
         # W rows, the compacted child block lands at the new tail.  Rows
