@@ -29,7 +29,16 @@ def main():
         integrator.take_rows = lambda m, i: jnp.take(m, i, axis=0)
     period = int(os.environ.get("VOX_REORDER_PERIOD", "2"))
 
-    scene, cfg = presets.city_xl_path()
+    page = int(os.environ.get("VOX_PAGE", "0"))
+    if page:
+        from voxtracer.render.camera import make_camera
+        scene, cfg = presets.city_path(nx=11, nz=10, vary_scale=True,
+                                       page=page)
+        scene = scene.replace(camera=make_camera(pos=(-3.4, 2.6, -5.6),
+                                                 target=(0.0, 0.2, 0.0),
+                                                 aspect=cfg.width / cfg.height))
+    else:
+        scene, cfg = presets.city_xl_path()
     cfg = dataclasses.replace(cfg, bounce_reorder_period=period)
     scene = jax.tree.map(jnp.asarray, scene)
     k = jax.random.PRNGKey(0)
@@ -47,7 +56,7 @@ def main():
         ts.append(time.time() - t0)
     ms = float(np.median(ts)) * 1e3
     n = cfg.width * cfg.height
-    print(f"plain={os.environ.get('VOX_PLAIN_TAKE','0')} period={period}: "
+    print(f"plain={os.environ.get('VOX_PLAIN_TAKE','0')} period={period} page={page}: "
           f"{ms:.1f} ms  {n/ (ms/1e3) / 1e6:.2f} Mrays/s", flush=True)
 
 

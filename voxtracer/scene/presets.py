@@ -111,7 +111,7 @@ def monu_path(width=1920, height=1080, gridsize=64, which=(1, 2, 3), bounces=4,
 
 
 def city_path(width=1920, height=1080, gridsize=64, nx=4, nz=4, bounces=4,
-              spp=1, vary_scale=False):
+              spp=1, vary_scale=False, page=24):
     """Config 5: grid of Small/Tall buildings — the TLAS/multi-instance
     stress scene."""
     mats = default_materials()
@@ -135,7 +135,7 @@ def city_path(width=1920, height=1080, gridsize=64, nx=4, nz=4, bounces=4,
     if len(specs) > 64:
         from voxtracer.scene.instances import paginate_volumes
 
-        vols = paginate_volumes(vols)
+        vols = paginate_volumes(vols, page=page)
     lights = make_lights(point=((0.0, 5.0, -4.0, 20.0, 20.0, 18.0),))
     cam = make_camera(pos=(-1.5, 1.6, -3.2), target=(0.0, 0.3, 0.0), aspect=width / height)
     scene = _assemble(vols, mats, lights=lights, sky=_sky(), camera=cam)
