@@ -39,7 +39,9 @@ def main():
                                                  aspect=cfg.width / cfg.height))
     else:
         scene, cfg = presets.city_xl_path()
-    cfg = dataclasses.replace(cfg, bounce_reorder_period=period)
+    cfg = dataclasses.replace(
+        cfg, bounce_reorder_period=period,
+        reorder_compact_chunks=int(os.environ.get("VOX_RCHUNKS", "1")))
     scene = jax.tree.map(jnp.asarray, scene)
     k = jax.random.PRNGKey(0)
 
@@ -56,7 +58,8 @@ def main():
         ts.append(time.time() - t0)
     ms = float(np.median(ts)) * 1e3
     n = cfg.width * cfg.height
-    print(f"plain={os.environ.get('VOX_PLAIN_TAKE','0')} period={period} page={page}: "
+    print(f"plain={os.environ.get('VOX_PLAIN_TAKE','0')} period={period} page={page} "
+          f"rchunks={os.environ.get('VOX_RCHUNKS','1')}: "
           f"{ms:.1f} ms  {n/ (ms/1e3) / 1e6:.2f} Mrays/s", flush=True)
 
 

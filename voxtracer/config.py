@@ -88,6 +88,16 @@ class RenderConfig:
     # slowly bounce-to-bounce, so clustering decays gently and the extra
     # sorts buy less than they cost.
     bounce_reorder_period: int = 2
+    # live-prefix chunking of the REORDERED bounce loop: the morton key
+    # already sorts terminated rays to the tail, so after each re-sort
+    # the live rays are a prefix — with k > 1 each bounce dispatches
+    # n/k-wide chunks and stops at the last live lane instead of walking
+    # the full width.  Late bounces (survival ~20-30%) then traverse the
+    # paged kernel at a fraction of the width.  Unlike compact_chunks
+    # (net-negative on monu: per-chunk dispatch of a cheap kernel), the
+    # paged city-XL bounce is expensive enough to amortize the extra
+    # dispatches.  1 = off.
+    reorder_compact_chunks: int = 1
     # Whitted queue batch re-clustering: sort each iteration's [W] branch
     # batch by (live, origin-morton | direction-octant) before traversal.
     # The queue mixes branch generations after a few pops, which defeats

@@ -1001,8 +1001,34 @@ def _trace_path_reordered(scene: SceneData, cfg: RenderConfig, state, key,
         per = max(cfg.bounce_reorder_period, 1)
         pk = jax.lax.cond((depth > 0) & (((depth - 1) % per) == 0),
                           reorder, lambda x: x, pk)
+        bkey = jax.random.fold_in(key, depth)
+        kc = cfg.reorder_compact_chunks
+        if kc > 1 and n % kc == 0:
+            # live-prefix chunking: the morton key sorts terminated rays
+            # to the tail, so live lanes end at the last set active flag —
+            # dispatch n/kc-wide chunks and stop there.  Survival at
+            # bounces 2+ is ~20-30% (scripts/probe_active.py), so late
+            # bounces traverse the paged kernel at a fraction of width.
+            ch = n // kc
+            c = jnp.max(jnp.where(pk[:, 13] > 0.5, iota + 1, 0))
+
+            def chunk_cond(cc):
+                return cc[0] * ch < c
+
+            def chunk_body(cc):
+                j, pk = cc
+                sub = jax.lax.dynamic_slice_in_dim(pk, j * ch, ch, axis=0)
+                st, pix = _unpack_path(sub)
+                st = _bounce_core(scene, cfg, st,
+                                  jax.random.fold_in(bkey, j))
+                return j + 1, jax.lax.dynamic_update_slice_in_dim(
+                    pk, _pack_path(st, pix), j * ch, axis=0)
+
+            _, pk = jax.lax.while_loop(chunk_cond, chunk_body,
+                                       (jnp.int32(0), pk))
+            return pk, depth + 1
         st, pix = _unpack_path(pk)
-        st = _bounce_core(scene, cfg, st, jax.random.fold_in(key, depth))
+        st = _bounce_core(scene, cfg, st, bkey)
         return _pack_path(st, pix), depth + 1
 
     def cond(carry):
