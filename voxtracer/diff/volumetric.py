@@ -438,11 +438,12 @@ def span_cells_bins(scene: SceneData, cfg, row0: int = 0, rows: int = 0,
 
 
 @partial(jax.jit, static_argnames=("n_steps", "cfg", "rows", "k",
-                                   "span_steps", "n_active", "clamp"))
+                                   "span_steps", "n_active", "clamp",
+                                   "importance"))
 def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 192,
                 density_scale: float = 512.0, row0=None, rows: int = 0,
                 k: int = 0, span_steps: int = 0, perm=None, inv_perm=None,
-                n_active: int = 0, clamp: bool = True):
+                n_active: int = 0, clamp: bool = True, importance: int = 0):
     """Primary-visibility differentiable render -> [H, W, 3] (or
     [rows, W, 3] when a row band is given — used to bound memory at 1080p).
 
@@ -487,7 +488,8 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
         o = jnp.take(o, perm[:na], axis=0)
         d = jnp.take(d, perm[:na], axis=0)
     color, t_total, valid = _march_color(params, scene, cfg, o, d, n_steps,
-                                         density_scale, k, span_steps, clamp)
+                                         density_scale, k, span_steps, clamp,
+                                         importance=importance)
     bg = sample_sky(scene.sky, d, cfg.activate_sky, cfg.sky_fallback)
     img = color + t_total[:, None] * bg
     img = jnp.where(valid[:, None], img, bg)
@@ -500,11 +502,11 @@ def render_diff(params: DiffParams, scene: SceneData, cfg, key, n_steps: int = 1
 
 
 @partial(jax.jit, static_argnames=("n_steps", "cfg", "k", "span_steps",
-                                   "clamp"))
+                                   "clamp", "importance"))
 def render_diff_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
                        n_steps: int, density_scale: float = 512.0,
                        k: int = 0, span_steps: int = 0, clamp: bool = True,
-                       spans=None):
+                       spans=None, importance: int = 0):
     """Compacted-ray differentiable render -> radiance [N, 3].
 
     The training-loop form of render_diff: o/d are the PRE-compacted
@@ -517,14 +519,15 @@ def render_diff_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
     pixel contributes a parameter-free constant to the loss)."""
     color, t_total, valid = _march_color(params, scene, cfg, o, d, n_steps,
                                          density_scale, k, span_steps, clamp,
-                                         spans=spans)
+                                         spans=spans, importance=importance)
     img = color + t_total[:, None] * bg
     return jnp.where(valid[:, None], img, bg)
 
 
 def _march_color(params: DiffParams, scene: SceneData, cfg, o, d,
                  n_steps: int, density_scale: float, k: int,
-                 span_steps: int, clamp: bool, spans=None):
+                 span_steps: int, clamp: bool, spans=None,
+                 importance: int = 0):
     """The relaxed march over given rays -> (color [N,3], t_total [N],
     valid [N]).  See render_diff for the estimator documentation."""
     n = o.shape[0]
@@ -749,6 +752,83 @@ def _march_color(params: DiffParams, scene: SceneData, cfg, o, d,
             per-volume [1] columns)."""
             return a[j]
 
+        imp = int(importance) if importance else 0
+        if imp > 0:
+            # ---- importance-placed core samples: march nodes land
+            # proportionally to a P-segment brick-occupancy profile of
+            # [u0, u1] instead of uniformly.  Node positions and widths
+            # are parameter-free (stop-gradient'd brick means), so this
+            # is deterministic variable-node quadrature of the SAME
+            # integral: od_k = sigma(t_k) * dt_k with dt_k = (dt/dc) *
+            # (total/S) — the inverse-CDF change of variables.  Why:
+            # fine-structure voxels (thin walls at monu's g=64) fall
+            # BETWEEN uniform nodes when the span is long — per-volume
+            # grad cosine vs the 48-step reference is ~0.5 at official
+            # settings (GRAD_PARITY_r05); concentrating nodes in occupied
+            # bricks raises effective resolution at unchanged row count.
+            # Cost: 2 probe row-gathers per pair, forward-only.
+            bsig_sg = jax.lax.stop_gradient(bsig)
+            # threshold choice (both measured, scripts/probe_importance.py
+            # at 256x144 monu): empty cells still carry
+            # softplus(empty_logit)*scale (~1.3 at bench params), so the
+            # 1e-6 threshold marks every INSIDE probe occupied and the
+            # profile skips only inter-volume gaps in the union core —
+            # per-volume cosines 0.547/0.598/0.532 vs official
+            # 0.521/0.499/0.517.  A relative threshold (4x global brick
+            # minimum) additionally skips intra-volume air but measured
+            # WORSE (0.531/0.553/0.496): P=8 probes are too coarse to see
+            # thin-matter bricks and divert nodes off them.  Keep the
+            # inside-profile variant.
+            thr = jnp.float32(1e-6)
+            segl = (u1 - u0) / imp                       # [N]
+            pj = (jnp.arange(imp, dtype=F32) + 0.5)[:, None]
+            t_probe = u0[None] + pj * segl[None]         # [P, N]
+            occ_p = jnp.zeros((imp, n), bool)
+            for jj in range(v_eff):
+                gsf = pairc(gs_f, jj)
+                gsi = pairc(gs_i, jj)
+                ms_i = (gsi + 7) // 8
+                vbj = (vol_ids[jj] if vol_ids.ndim == 2
+                       else vol_ids[jj, 0])
+                lx = (vox[jj] + t_probe * vdx[jj] - pairc(bx, jj)) * gsf
+                ly = (voy[jj] + t_probe * vdy[jj] - pairc(by, jj)) * gsf
+                lz = (voz[jj] + t_probe * vdz[jj] - pairc(bz, jj)) * gsf
+                ibx = jnp.clip((lx * 0.125).astype(jnp.int32), 0, ms_i - 1)
+                iby = jnp.clip((ly * 0.125).astype(jnp.int32), 0, ms_i - 1)
+                ibz = jnp.clip((lz * 0.125).astype(jnp.int32), 0, ms_i - 1)
+                inside = ((lx >= 0.0) & (lx < gsf) & (ly >= 0.0)
+                          & (ly < gsf) & (lz >= 0.0) & (lz < gsf))
+                fb = jnp.broadcast_to(
+                    vbj * m3 + (ibx * msp + iby) * msp + ibz, (imp, n))
+                sb = jnp.take(bsig_sg, fb.reshape(-1),
+                              mode="clip").reshape(imp, n)
+                occ_p = occ_p | (inside & (sb > thr))
+            # +0.1 floor: empty segments keep ~1/11 of the node budget so
+            # cells the coarse probes miss still get sampled (graceful
+            # degradation toward the uniform grid as occupancy saturates)
+            w_p = occ_p.astype(F32) + 0.1                # [P, N]
+            cdf = jnp.cumsum(w_p, axis=0)
+            total = cdf[-1]
+            cstep = ((jnp.arange(n_steps, dtype=F32) + 0.5)[:, None]
+                     * (total[None] / n_steps))          # [S, N]
+            t_tab = jnp.broadcast_to(u0[None], (n_steps, n))
+            dt_tab = jnp.zeros((n_steps, n), F32)
+            prev = jnp.zeros(n, F32)
+            for j in range(imp):
+                in_seg = (cstep >= prev[None]) & (cstep < cdf[j][None])
+                frac = (cstep - prev[None]) / w_p[j][None]
+                t_tab = jnp.where(in_seg,
+                                  u0[None] + (j + frac) * segl[None], t_tab)
+                dt_tab = jnp.where(
+                    in_seg,
+                    (total[None] / n_steps) * segl[None] / w_p[j][None],
+                    dt_tab)
+                prev = cdf[j]
+            t_tab = jax.lax.stop_gradient(t_tab)
+            dt_tab = jax.lax.stop_gradient(dt_tab)
+        else:
+            t_tab = dt_tab = None
+
         # STEP-BATCHED march (round 3): the sequential lax.scan over steps
         # cost ~4.7 ms/step at 262 K rays — pure loop/launch structure, not
         # gathers (every fetch/adjoint ablation measured ~0 delta,
@@ -778,8 +858,13 @@ def _march_color(params: DiffParams, scene: SceneData, cfg, o, d,
         _SEG_CHUNK = 32
 
         def core_chunk(carry, k0, ksteps):
-            ki = (jnp.arange(ksteps, dtype=F32) + (k0 + 0.5))[:, None]
-            t_mid = u0 + ki * dt_u  # [C, N]
+            if imp > 0:
+                t_mid = t_tab[k0:k0 + ksteps]  # [C, N]
+                dtc = dt_tab[k0:k0 + ksteps]
+            else:
+                ki = (jnp.arange(ksteps, dtype=F32) + (k0 + 0.5))[:, None]
+                t_mid = u0 + ki * dt_u  # [C, N]
+                dtc = dt_u
             flat = jnp.zeros((ksteps, n), jnp.int32)
             inside_any = jnp.zeros((ksteps, n), bool)
             for j in range(v_eff):
@@ -803,7 +888,7 @@ def _march_color(params: DiffParams, scene: SceneData, cfg, o, d,
             ar = jnp.where(inside_any, alb[:, 0].reshape(ksteps, n), 0.0)
             ag = jnp.where(inside_any, alb[:, 1].reshape(ksteps, n), 0.0)
             ab_ = jnp.where(inside_any, alb[:, 2].reshape(ksteps, n), 0.0)
-            return seg_composite(carry, s * dt_u, ar, ag, ab_)
+            return seg_composite(carry, s * dtc, ar, ag, ab_)
 
         def core_seg(carry):
             for k0 in range(0, n_steps, _SEG_CHUNK):
@@ -880,7 +965,7 @@ def _march_color(params: DiffParams, scene: SceneData, cfg, o, d,
 def mse_loss_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
                     target_active, denom: float, n_steps: int,
                     k: int = 0, span_steps: int = 0, clamp: bool = True,
-                    n_active: int = 0, spans=None):
+                    n_active: int = 0, spans=None, importance: int = 0):
     """Sum of squared errors over the active rays / denom.
 
     With denom = full-band pixel-element count this has EXACTLY the
@@ -895,7 +980,7 @@ def mse_loss_active(params: DiffParams, scene: SceneData, cfg, o, d, bg,
     double-counted across bins (ADVICE r4)."""
     img = render_diff_active(params, scene, cfg, o, d, bg, n_steps,
                              k=k, span_steps=span_steps, clamp=clamp,
-                             spans=spans)
+                             spans=spans, importance=importance)
     err = jnp.sum((img - target_active) ** 2, axis=-1)
     if n_active and n_active < o.shape[0]:
         err = jnp.where(jnp.arange(o.shape[0]) < n_active, err, 0.0)
@@ -915,16 +1000,18 @@ def spans_for_rays(scene: SceneData, o, d):
 def mse_loss(params: DiffParams, scene: SceneData, cfg, target, key,
              n_steps: int = 192, row0=None, rows: int = 0, k: int = 0,
              span_steps: int = 0, perm=None, inv_perm=None,
-             n_active: int = 0, clamp: bool = True):
+             n_active: int = 0, clamp: bool = True, importance: int = 0):
     img = render_diff(params, scene, cfg, key, n_steps, row0=row0, rows=rows,
                       k=k, span_steps=span_steps, perm=perm,
-                      inv_perm=inv_perm, n_active=n_active, clamp=clamp)
+                      inv_perm=inv_perm, n_active=n_active, clamp=clamp,
+                      importance=importance)
     return jnp.mean((img - target) ** 2)
 
 
 grad_fn = jax.jit(jax.grad(mse_loss),
                   static_argnames=("cfg", "n_steps", "rows", "k",
-                                   "span_steps", "n_active", "clamp"))
+                                   "span_steps", "n_active", "clamp",
+                                   "importance"))
 
 
 def max_aabb_crossings(scene: SceneData, cfg, row0: int = 0,
